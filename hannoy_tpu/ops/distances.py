@@ -1,0 +1,239 @@
+"""Distance layer: the seven metrics of the reference, batched for TPU.
+
+Reference: ``/root/reference/src/distance/`` (trait at mod.rs:26-48) and the
+SIMD kernels in ``src/spaces/`` (SURVEY §2.1 [native-perf] rows). All
+distances return "smaller is closer" floats with exactly the reference's
+formulas:
+
+* ``cosine``       — ``(1 - cos)/2`` with cos clamped to [-1, 1]; 0.0 when
+                     ``|p||q| <= eps`` (cosine.rs:40-56). Norm cached in the
+                     item header.
+* ``euclidean``    — **squared** L2, no sqrt (simple.rs:49-51).
+* ``manhattan``    — ``Σ|p-q|`` (manhattan.rs:41-44).
+* ``hamming``      — ``popcount(p^q) / padded_bits`` (hamming.rs:44-47).
+* ``bq cosine``    — cosine over ±1 vectors; ``dot = Σ(ones-zeros)(~(p^q))``
+                     per 64-bit word == ``D_pad - 2*popcount(p^q)``
+                     (binary_quantized_cosine.rs, simple.rs:119-131).
+* ``bq euclidean`` — ``4 * popcount(p^q)`` (binary_quantized_euclidean.rs).
+* ``bq manhattan`` — ``2 * popcount(p^q)`` (binary_quantized_manhattan.rs).
+
+Where the reference dispatches per-pair AVX/SSE/NEON kernels at runtime
+(spaces/simple.rs:19-83), here every op is *batched*: XLA fuses the
+gather→distance→reduce chain onto the VPU, and the brute-force matrix path
+rides the MXU via matmul. Packed metrics use uint32 lanes +
+``lax.population_count``.
+
+The string names are DB-format identities used for the reader metric check
+and the BQ-migration fast path (mod.rs:33-36, writer.rs:358-410) — they
+must match the reference byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import codecs
+from .codecs import BINARY, BQ, F32
+
+_EPS = np.float32(1.1920929e-07)  # f32::EPSILON
+
+#: Matmul precision for f32 distance einsums. TPU MXUs default to bf16-ish
+#: passes; HIGHEST keeps f32 distances exact (the workload is
+#: HBM-bandwidth-bound, so this costs little).
+MATMUL_PRECISION = jax.lax.Precision.HIGHEST
+
+
+@dataclass(frozen=True)
+class Metric:
+    """A distance metric (reference trait ``Distance``, mod.rs:26-48)."""
+
+    name: str  # DB-stable string identity (D::name())
+    codec: str  # which vector codec backs it
+
+    @property
+    def is_packed(self) -> bool:
+        return self.codec != F32
+
+
+COSINE = Metric("cosine", F32)
+EUCLIDEAN = Metric("euclidean", F32)
+MANHATTAN = Metric("manhattan", F32)
+HAMMING = Metric("hamming", BINARY)
+BQ_COSINE = Metric("binary quantized cosine", BQ)
+BQ_EUCLIDEAN = Metric("binary quantized euclidean", BQ)
+BQ_MANHATTAN = Metric("binary quantized manhattan", BQ)
+
+ALL_METRICS = [COSINE, EUCLIDEAN, MANHATTAN, HAMMING, BQ_COSINE, BQ_EUCLIDEAN, BQ_MANHATTAN]
+BY_NAME = {m.name: m for m in ALL_METRICS}
+
+
+def by_name(name: str) -> Metric:
+    return BY_NAME[name]
+
+
+# --------------------------------------------------------------------------
+# Headers / norms (host)
+# --------------------------------------------------------------------------
+
+
+def np_norms(metric: Metric, packed: np.ndarray) -> np.ndarray:
+    """Per-item header scalar for a batch of packed rows → [B] float32.
+
+    cosine → L2 norm; bq cosine → sqrt(bq_dot(v,v)) == sqrt(D_pad);
+    hamming → popcount (parity with ``norm_no_header``, unused by search);
+    others → 0.0 (the reference's unused ``bias``).
+    """
+    packed = np.atleast_2d(packed)
+    if metric.name == "cosine":
+        return np.sqrt(np.einsum("bd,bd->b", packed, packed, dtype=np.float64)).astype(np.float32)
+    if metric.name == "binary quantized cosine":
+        d_pad = packed.shape[1] * codecs.LANE_BITS
+        return np.full(packed.shape[0], np.sqrt(np.float32(d_pad)), dtype=np.float32)
+    if metric.name == "hamming":
+        return _np_popcount_rows(packed).astype(np.float32)
+    return np.zeros(packed.shape[0], dtype=np.float32)
+
+
+def _np_popcount_rows(x: np.ndarray) -> np.ndarray:
+    by = np.atleast_2d(x).astype("<u4").view(np.uint8)
+    return np.unpackbits(by, axis=1).sum(axis=1)
+
+
+# --------------------------------------------------------------------------
+# Numpy reference implementation (oracle for tests + trusted host builder)
+# --------------------------------------------------------------------------
+
+
+def np_pairwise(
+    metric: Metric,
+    a: np.ndarray,
+    a_norm: np.ndarray,
+    b: np.ndarray,
+    b_norm: np.ndarray,
+) -> np.ndarray:
+    """Exact [A, B] distance matrix between packed row batches (numpy)."""
+    a = np.atleast_2d(a)
+    b = np.atleast_2d(b)
+    name = metric.name
+    if name == "cosine":
+        dots = a.astype(np.float32) @ b.astype(np.float32).T
+        denom = np.outer(a_norm, b_norm)
+        cos = np.clip(np.divide(dots, denom, out=np.zeros_like(dots), where=denom > _EPS), -1, 1)
+        out = np.where(denom > _EPS, (1.0 - cos) / 2.0, 0.0)
+        return out.astype(np.float32)
+    if name == "euclidean":
+        diff = a[:, None, :].astype(np.float32) - b[None, :, :].astype(np.float32)
+        return np.einsum("abd,abd->ab", diff, diff).astype(np.float32)
+    if name == "manhattan":
+        return np.abs(a[:, None, :].astype(np.float32) - b[None, :, :]).sum(-1).astype(np.float32)
+    # packed metrics
+    xor = a[:, None, :] ^ b[None, :, :]
+    pc = np.unpackbits(xor.astype("<u4").view(np.uint8).reshape(a.shape[0], b.shape[0], -1), axis=2).sum(
+        axis=2
+    )
+    d_pad = a.shape[1] * codecs.LANE_BITS
+    if name == "hamming":
+        return (pc / np.float32(d_pad)).astype(np.float32)
+    if name == "binary quantized euclidean":
+        return (4.0 * pc).astype(np.float32)
+    if name == "binary quantized manhattan":
+        return (2.0 * pc).astype(np.float32)
+    if name == "binary quantized cosine":
+        dot = d_pad - 2.0 * pc
+        denom = np.outer(a_norm, b_norm)
+        cos = np.divide(dot, denom, out=np.zeros_like(dot, dtype=np.float64), where=denom != 0)
+        return np.where(denom != 0, (1.0 - cos) / 2.0, 0.0).astype(np.float32)
+    raise ValueError(f"unknown metric {name}")
+
+
+# --------------------------------------------------------------------------
+# Device implementations (jax.numpy; shapes static under jit)
+# --------------------------------------------------------------------------
+
+
+def gathered_distances(
+    metric: Metric,
+    q: jax.Array,  # [B, D*] queries (packed lanes for packed codecs)
+    q_norm: jax.Array,  # [B]
+    c: jax.Array,  # [B, K, D*] gathered candidate rows
+    c_norm: jax.Array,  # [B, K]
+) -> jax.Array:
+    """Distances between each query and its K gathered candidates → [B, K].
+
+    This is the TPU replacement of the per-pair ``D::distance`` call in the
+    beam-search hot loop (reference hnsw.rs:503, reader.rs:346-348): one
+    fused VPU pass per hop instead of pointer-chasing SIMD calls.
+    """
+    name = metric.name
+    if name == "cosine":
+        dots = jnp.einsum("bd,bkd->bk", q, c, preferred_element_type=jnp.float32, precision=MATMUL_PRECISION)
+        denom = q_norm[:, None] * c_norm
+        cos = jnp.clip(dots / jnp.maximum(denom, _EPS), -1.0, 1.0)
+        return jnp.where(denom > _EPS, (1.0 - cos) * 0.5, 0.0)
+    if name == "euclidean":
+        diff = q[:, None, :] - c
+        return jnp.einsum("bkd,bkd->bk", diff, diff, preferred_element_type=jnp.float32, precision=MATMUL_PRECISION)
+    if name == "manhattan":
+        return jnp.sum(jnp.abs(q[:, None, :] - c), axis=-1)
+    # packed codecs: uint32 lanes
+    pc = jnp.sum(jax.lax.population_count(q[:, None, :] ^ c).astype(jnp.int32), axis=-1)
+    d_pad = q.shape[-1] * codecs.LANE_BITS
+    return _packed_from_popcount(name, pc, d_pad, q_norm[:, None] * c_norm)
+
+
+def matrix_distances(
+    metric: Metric,
+    q: jax.Array,  # [B, D*]
+    q_norm: jax.Array,  # [B]
+    db: jax.Array,  # [N, D*]
+    db_norm: jax.Array,  # [N]
+) -> jax.Array:
+    """Full [B, N] distance matrix — the brute-force / recall-oracle path.
+
+    f32 dot-metrics ride the MXU. Euclidean uses the norm expansion
+    ``|p|²+|q|²-2pq`` (clamped at 0) so it is also one big matmul; this is a
+    documented deviation from the reference's cancellation-free elementwise
+    kernel (spaces/simple.rs:47-51) — ranking-equivalent to ~1e-3 and only
+    used where throughput matters.
+    """
+    name = metric.name
+    if name == "cosine":
+        dots = jnp.einsum("bd,nd->bn", q, db, preferred_element_type=jnp.float32, precision=MATMUL_PRECISION)
+        denom = q_norm[:, None] * db_norm[None, :]
+        cos = jnp.clip(dots / jnp.maximum(denom, _EPS), -1.0, 1.0)
+        return jnp.where(denom > _EPS, (1.0 - cos) * 0.5, 0.0)
+    if name == "euclidean":
+        dots = jnp.einsum("bd,nd->bn", q, db, preferred_element_type=jnp.float32, precision=MATMUL_PRECISION)
+        q2 = jnp.einsum("bd,bd->b", q, q, preferred_element_type=jnp.float32, precision=MATMUL_PRECISION)
+        n2 = jnp.einsum("nd,nd->n", db, db, preferred_element_type=jnp.float32, precision=MATMUL_PRECISION)
+        return jnp.maximum(q2[:, None] + n2[None, :] - 2.0 * dots, 0.0)
+    if name == "manhattan":
+        return jnp.sum(jnp.abs(q[:, None, :] - db[None, :, :]), axis=-1)
+    pc = jnp.sum(
+        jax.lax.population_count(q[:, None, :] ^ db[None, :, :]).astype(jnp.int32), axis=-1
+    )
+    d_pad = q.shape[-1] * codecs.LANE_BITS
+    return _packed_from_popcount(name, pc, d_pad, q_norm[:, None] * db_norm[None, :])
+
+
+def _packed_from_popcount(name: str, pc: jax.Array, d_pad: int, norm_prod: jax.Array) -> jax.Array:
+    pc = pc.astype(jnp.float32)
+    if name == "hamming":
+        return pc / jnp.float32(d_pad)
+    if name == "binary quantized euclidean":
+        return 4.0 * pc
+    if name == "binary quantized manhattan":
+        return 2.0 * pc
+    if name == "binary quantized cosine":
+        dot = jnp.float32(d_pad) - 2.0 * pc
+        cos = dot / jnp.where(norm_prod != 0, norm_prod, 1.0)
+        return jnp.where(norm_prod != 0, (1.0 - cos) * 0.5, 0.0)
+    raise ValueError(f"unknown packed metric {name}")
+
+
+def device_dtype(metric: Metric):
+    return jnp.uint32 if metric.is_packed else jnp.float32

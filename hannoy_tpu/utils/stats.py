@@ -1,0 +1,39 @@
+"""Build statistics counters.
+
+Reference: ``/root/reference/src/stats.rs:10-38`` (``BuildStats`` — links
+added, store hits, per-layer population histogram; debug-logged after each
+build at writer.rs:575). On TPU the equivalents are host-side counters
+incremented per wave plus device-reduced totals.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+
+logger = logging.getLogger("hannoy_tpu")
+
+
+@dataclass
+class BuildStats:
+    links_added: int = 0
+    store_gathers: int = 0
+    waves: int = 0
+    layer_dist: dict[int, int] = field(default_factory=dict)
+    beam_iters: int = 0
+
+    def incr_link_count(self, n: int = 1) -> None:
+        self.links_added += n
+
+    def incr_gathers(self, n: int = 1) -> None:
+        self.store_gathers += n
+
+    def log(self) -> None:
+        logger.debug(
+            "BuildStats(links=%d gathers=%d waves=%d beam_iters=%d layers=%s)",
+            self.links_added,
+            self.store_gathers,
+            self.waves,
+            self.beam_iters,
+            dict(sorted(self.layer_dist.items())),
+        )

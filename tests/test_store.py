@@ -1,0 +1,165 @@
+"""Host store (LMDB-equivalent) semantics tests.
+
+Covers the transactional guarantees the rest of the framework leans on
+(SURVEY §5 checkpoint/resume): snapshot isolation, commit/abort, prefix
+iteration in key order, durability across reopen, torn-tail crash recovery.
+"""
+
+import os
+
+import pytest
+
+from hannoy_tpu.errors import DatabaseFull
+from hannoy_tpu.store import Env, Key, Prefix
+
+
+@pytest.fixture
+def env(tmp_path):
+    e = Env(tmp_path / "db")
+    yield e
+    e.close()
+
+
+def test_put_get_commit(env):
+    db = env.create_database(None, None)
+    with env.write_txn() as wtxn:
+        db.put(wtxn, Key.item(0, 1).to_bytes(), b"hello")
+    rtxn = env.read_txn()
+    assert db.get(rtxn, Key.item(0, 1).to_bytes()) == b"hello"
+
+
+def test_uncommitted_writes_invisible_to_readers(env):
+    db = env.create_database(None, None)
+    wtxn = env.write_txn()
+    db.put(wtxn, b"k" * 8, b"v")
+    rtxn = env.read_txn()
+    assert db.get(rtxn, b"k" * 8) is None  # MVCC: reader sees old snapshot
+    assert db.get(wtxn, b"k" * 8) == b"v"  # writer sees own overlay
+    wtxn.commit()
+    assert db.get(rtxn, b"k" * 8) is None  # old snapshot is stable
+    assert db.get(env.read_txn(), b"k" * 8) == b"v"
+
+
+def test_abort_discards(env):
+    db = env.create_database(None, None)
+    wtxn = env.write_txn()
+    db.put(wtxn, b"a" * 8, b"1")
+    wtxn.abort()
+    assert db.get(env.read_txn(), b"a" * 8) is None
+
+
+def test_exception_in_with_block_aborts(env):
+    db = env.create_database(None, None)
+    with pytest.raises(RuntimeError):
+        with env.write_txn() as wtxn:
+            db.put(wtxn, b"x" * 8, b"1")
+            raise RuntimeError("boom")
+    assert db.get(env.read_txn(), b"x" * 8) is None
+
+
+def test_delete(env):
+    db = env.create_database(None, None)
+    with env.write_txn() as wtxn:
+        db.put(wtxn, b"d" * 8, b"1")
+    with env.write_txn() as wtxn:
+        assert db.delete(wtxn, b"d" * 8) is True
+        assert db.delete(wtxn, b"e" * 8) is False
+    assert db.get(env.read_txn(), b"d" * 8) is None
+
+
+def test_prefix_iter_in_key_order(env):
+    db = env.create_database(None, None)
+    with env.write_txn() as wtxn:
+        for item in [5, 1, 3]:
+            db.put(wtxn, Key.item(2, item).to_bytes(), bytes([item]))
+        db.put(wtxn, Key.item(3, 0).to_bytes(), b"other-index")
+        db.put(wtxn, Key.links(2, 1, 0).to_bytes(), b"links")
+    rtxn = env.read_txn()
+    got = [(Key.from_bytes(k).item, v) for k, v in db.prefix_iter(rtxn, Prefix.item(2))]
+    assert got == [(1, bytes([1])), (3, bytes([3])), (5, bytes([5]))]
+
+
+def test_prefix_iter_sees_rw_overlay(env):
+    db = env.create_database(None, None)
+    with env.write_txn() as wtxn:
+        db.put(wtxn, Key.item(0, 1).to_bytes(), b"a")
+        db.put(wtxn, Key.item(0, 3).to_bytes(), b"c")
+    wtxn = env.write_txn()
+    db.put(wtxn, Key.item(0, 2).to_bytes(), b"b")
+    db.delete(wtxn, Key.item(0, 3).to_bytes())
+    got = [Key.from_bytes(k).item for k, _ in db.prefix_iter(wtxn, Prefix.item(0))]
+    assert got == [1, 2]
+    wtxn.abort()
+
+
+def test_durability_across_reopen(tmp_path):
+    path = tmp_path / "db"
+    env = Env(path)
+    db = env.create_database(None, None)
+    with env.write_txn() as wtxn:
+        db.put(wtxn, Key.item(0, 7).to_bytes(), b"persisted")
+    env.close()
+
+    env2 = Env(path)
+    db2 = env2.create_database(None, None)
+    assert db2.get(env2.read_txn(), Key.item(0, 7).to_bytes()) == b"persisted"
+    env2.close()
+
+
+def test_torn_tail_recovery(tmp_path):
+    """A crashed (partial) commit batch is discarded on reopen — mirrors
+    LMDB's nothing-persists-until-commit guarantee."""
+    path = tmp_path / "db"
+    env = Env(path)
+    db = env.create_database(None, None)
+    with env.write_txn() as wtxn:
+        db.put(wtxn, b"good::ok", b"1")
+    env.close()
+
+    log = os.path.join(str(path), "hannoy.log")
+    size = os.path.getsize(log)
+    with open(log, "ab") as f:
+        f.write(b"HNYT\x01\x00\x00\x10\x00partial-garbage")  # torn batch
+
+    env2 = Env(path)
+    db2 = env2.create_database(None, None)
+    assert db2.get(env2.read_txn(), b"good::ok") == b"1"
+    env2.close()
+    assert os.path.getsize(log) == size  # tail truncated
+
+
+def test_named_databases_are_isolated(env):
+    a = env.create_database(None, "a")
+    b = env.create_database(None, "b")
+    with env.write_txn() as wtxn:
+        a.put(wtxn, b"k" * 8, b"from-a")
+    rtxn = env.read_txn()
+    assert a.get(rtxn, b"k" * 8) == b"from-a"
+    assert b.get(rtxn, b"k" * 8) is None
+
+
+def test_map_size_enforced(tmp_path):
+    env = Env(tmp_path / "small", map_size=1024)
+    db = env.create_database(None, None)
+    wtxn = env.write_txn()
+    with pytest.raises(DatabaseFull):
+        for i in range(100):
+            db.put(wtxn, Key.item(0, i).to_bytes(), b"x" * 64)
+    wtxn.abort()
+    env.close()
+
+
+def test_compaction_preserves_data(tmp_path):
+    env = Env(tmp_path / "db")
+    db = env.create_database(None, "t")
+    for round_ in range(5):
+        with env.write_txn() as wtxn:
+            for i in range(50):
+                db.put(wtxn, Key.item(0, i).to_bytes(), bytes([round_]) * 32)
+    env.compact()
+    assert db.get(env.read_txn(), Key.item(0, 49).to_bytes()) == bytes([4]) * 32
+    env.close()
+    env2 = Env(tmp_path / "db")
+    db2 = env2.create_database(None, "t")
+    assert db2.get(env2.read_txn(), Key.item(0, 0).to_bytes()) == bytes([4]) * 32
+    env2.close()
