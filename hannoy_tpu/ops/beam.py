@@ -1,0 +1,351 @@
+"""Batched beam search over the HBM-resident HNSW graph.
+
+The TPU replacement for the reference's pointer-chasing traversals:
+
+* ``greedy_descend`` ⇔ the ef=1 ``walk_layer`` descent loop
+  (hnsw.rs:303-307, reader.rs:735-741): a batched hill-climb per upper
+  layer under ``lax.while_loop`` — every step gathers each query's current
+  node's M neighbors, computes distances in one fused pass, and moves to
+  the best neighbor until no query improves.
+* ``beam_search`` ⇔ ``walk_layer`` / ``Visitor::visit`` with ef>1
+  (hnsw.rs:460-518, reader.rs:301-369): a fixed-width sorted pool of ef
+  (dist, id, expanded) triples per query replaces the BinaryHeap+MinMaxHeap
+  pair. Each iteration expands the best unexpanded entry, gathers its M0
+  neighbors, dedups against the pool with a compare matrix (the
+  RoaringBitmap-visited replacement — eviction from the pool is permanent
+  because the pool's worst distance only decreases, so re-entry is
+  impossible and no global visited set is needed), computes distances in
+  one batched op, and sort-merges. Termination matches the reference:
+  a query is done when its best unexpanded distance exceeds its worst
+  pooled distance (hnsw.rs:483-487).
+* ``beam_search_filtered`` ⇔ the candidates-bitmap variant
+  (reader.rs:322-365): the traversal frontier may pass through
+  non-candidates but results exclude them, so it carries a separate
+  frontier pool and result pool.
+
+All loops are bounded (``max_iters``) and shapes static, so one XLA
+compilation serves any batch of queries at fixed (ef, M0, D).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.hnsw import DeviceGraph
+from . import distances, topk
+from .topk import INF, NO_ID
+
+
+def _gather_rows(vectors: jax.Array, norms: jax.Array, idx: jax.Array):
+    """Gather vector rows + norms for (possibly -1) slot indices."""
+    safe = jnp.maximum(idx, 0)
+    return vectors[safe], norms[safe]
+
+
+def seed_distances(
+    metric: distances.Metric,
+    vectors: jax.Array,
+    norms: jax.Array,
+    q: jax.Array,  # [B, D*]
+    qn: jax.Array,  # [B]
+    slots: jax.Array,  # [B, S] (-1 padded)
+) -> jax.Array:
+    """Distances from each query to its seed slots; +inf on padding."""
+    vs, ns = _gather_rows(vectors, norms, slots)
+    d = distances.gathered_distances(metric, q, qn, vs, ns)
+    return jnp.where(slots >= 0, d, INF)
+
+
+# --------------------------------------------------------------------------
+# Upper-layer greedy descent (ef = 1)
+# --------------------------------------------------------------------------
+
+
+def greedy_descend(
+    g: DeviceGraph,
+    q: jax.Array,  # [B, D*]
+    qn: jax.Array,  # [B]
+    from_level: int,
+    to_level: int,
+    max_steps_per_level: int = 128,
+) -> jax.Array:
+    """Descend layers ``from_level .. to_level`` (inclusive, both >= 1)
+    greedily; returns the best slot per query → [B].
+
+    Seeds at the entry points (all of them — distances computed once, best
+    taken, matching the multi-ep seeding of hnsw.rs:474-481 with ef=1).
+    """
+    metric = g.metric
+    eps = jnp.broadcast_to(g.entry_slots[None, :], (q.shape[0], g.entry_slots.shape[0]))
+    d = seed_distances(metric, g.vectors, g.norms, q, qn, eps)
+    best = jnp.argmin(d, axis=-1)
+    cur = jnp.take_along_axis(eps, best[:, None], axis=-1)[:, 0]
+    cur_d = jnp.take_along_axis(d, best[:, None], axis=-1)[:, 0]
+
+    for level in range(from_level, to_level - 1, -1):
+        cur, cur_d = _greedy_level(g, q, qn, cur, cur_d, level, max_steps_per_level)
+    return cur
+
+
+def _greedy_level(
+    g: DeviceGraph,
+    q: jax.Array,
+    qn: jax.Array,
+    cur: jax.Array,
+    cur_d: jax.Array,
+    level: int,
+    max_steps: int,
+) -> tuple[jax.Array, jax.Array]:
+    metric = g.metric
+    l = level - 1  # row into stacked upper tables
+
+    def body(state):
+        cur, cur_d, _, it = state
+        rows = g.slot_rows[l][jnp.maximum(cur, 0)]
+        nbs = g.upper_links[l][jnp.maximum(rows, 0)]  # [B, M]
+        nb_valid = (nbs >= 0) & (rows >= 0)[:, None] & (cur >= 0)[:, None]
+        vs, ns = _gather_rows(g.vectors, g.norms, nbs)
+        d = distances.gathered_distances(metric, q, qn, vs, ns)
+        d = jnp.where(nb_valid, d, INF)
+        best = jnp.argmin(d, axis=-1)
+        best_d = jnp.take_along_axis(d, best[:, None], axis=-1)[:, 0]
+        best_nb = jnp.take_along_axis(nbs, best[:, None], axis=-1)[:, 0]
+        improved = best_d < cur_d
+        return (
+            jnp.where(improved, best_nb, cur),
+            jnp.minimum(best_d, cur_d),
+            improved,
+            it + 1,
+        )
+
+    def cond(state):
+        _, _, improved, it = state
+        return jnp.any(improved) & (it < max_steps)
+
+    init = (cur, cur_d, jnp.ones_like(cur, dtype=bool), jnp.int32(0))
+    cur, cur_d, _, _ = jax.lax.while_loop(cond, body, init)
+    return cur, cur_d
+
+
+# --------------------------------------------------------------------------
+# Layer-0 beam search
+# --------------------------------------------------------------------------
+
+
+class BeamResult(NamedTuple):
+    dists: jax.Array  # [B, ef] ascending, +inf padded
+    slots: jax.Array  # [B, ef] slot ids, -1 padded
+    iters: jax.Array  # [] total loop iterations executed
+
+
+def beam_search(
+    g: DeviceGraph,
+    q: jax.Array,  # [B, D*]
+    qn: jax.Array,  # [B]
+    start: jax.Array,  # [B, S] seed slots (-1 padded)
+    ef: int,
+    max_iters: Optional[int] = None,
+    valid_override: Optional[jax.Array] = None,
+) -> BeamResult:
+    """Unfiltered layer-0 beam search (hnsw.rs walk_layer semantics).
+
+    ``valid_override``: optional [N_pad] bool restricting which slots may
+    enter the pool (builders pass the not-yet-inserted mask).
+    """
+    metric = g.metric
+    if max_iters is None:
+        max_iters = 2 * ef + 16
+    B = q.shape[0]
+
+    node_ok = g.valid if valid_override is None else (g.valid & valid_override)
+
+    # Seed pool
+    seed_ok = (start >= 0) & node_ok[jnp.maximum(start, 0)]
+    seeds = jnp.where(seed_ok, start, NO_ID)
+    d = seed_distances(metric, g.vectors, g.norms, q, qn, seeds)
+    d = jnp.where(topk.unique_mask(seeds), d, INF)
+    seeds = jnp.where(d < INF, seeds, NO_ID)
+
+    pool_d = jnp.full((B, ef), INF)
+    pool_id = jnp.full((B, ef), NO_ID, dtype=jnp.int32)
+    pool_exp = jnp.zeros((B, ef), dtype=jnp.int32)
+    pool_d, (pool_id, pool_exp) = topk.merge_sorted(
+        pool_d, (pool_id, pool_exp), d, (seeds, jnp.zeros_like(seeds)), ef
+    )
+
+    def body(state):
+        pool_d, pool_id, pool_exp, it = state
+        unexp_d = jnp.where((pool_exp == 0) & (pool_id != NO_ID), pool_d, INF)
+        best_pos = jnp.argmin(unexp_d, axis=-1)  # [B]
+        best_d = jnp.take_along_axis(unexp_d, best_pos[:, None], axis=-1)[:, 0]
+        worst = pool_d[:, -1]
+        active = best_d <= worst  # reference: break when f > f_max
+        active &= best_d < INF
+
+        # mark expanded (frozen for inactive queries)
+        mark = jax.nn.one_hot(best_pos, ef, dtype=pool_exp.dtype) * active[:, None].astype(
+            pool_exp.dtype
+        )
+        pool_exp = jnp.maximum(pool_exp, mark)
+
+        cur = jnp.take_along_axis(pool_id, best_pos[:, None], axis=-1)[:, 0]
+        nbs = g.links0[jnp.maximum(cur, 0)]  # [B, M0]
+        ok = (
+            (nbs >= 0)
+            & active[:, None]
+            & node_ok[jnp.maximum(nbs, 0)]
+            & ~topk.contains(nbs, pool_id)
+        )
+        vs, ns = _gather_rows(g.vectors, g.norms, nbs)
+        nd = distances.gathered_distances(metric, q, qn, vs, ns)
+        nd = jnp.where(ok, nd, INF)
+        nids = jnp.where(ok, nbs, NO_ID)
+
+        pd, (pid, pexp) = topk.merge_sorted(
+            pool_d, (pool_id, pool_exp), nd, (nids, jnp.zeros_like(nids)), ef
+        )
+        return pd, pid, pexp, it + 1
+
+    def cond(state):
+        pool_d, pool_id, pool_exp, it = state
+        unexp_d = jnp.where((pool_exp == 0) & (pool_id != NO_ID), pool_d, INF)
+        best_d = jnp.min(unexp_d, axis=-1)
+        active = (best_d <= pool_d[:, -1]) & (best_d < INF)
+        return jnp.any(active) & (it < max_iters)
+
+    pool_d, pool_id, pool_exp, iters = jax.lax.while_loop(
+        cond, body, (pool_d, pool_id, pool_exp, jnp.int32(0))
+    )
+    return BeamResult(pool_d, pool_id, iters)
+
+
+def beam_search_filtered(
+    g: DeviceGraph,
+    q: jax.Array,
+    qn: jax.Array,
+    start: jax.Array,  # [B, S]
+    ef: int,
+    candidate_mask: jax.Array,  # [N_pad] bool — allowed result slots
+    max_iters: Optional[int] = None,
+    valid_override: Optional[jax.Array] = None,
+) -> BeamResult:
+    """Candidate-filtered beam search (reader.rs:322-365 semantics).
+
+    The frontier traverses any live node; the result pool admits only
+    candidates. Termination compares the frontier's best unexpanded entry
+    against the *result* pool's worst (reader.rs:329-336).
+    """
+    metric = g.metric
+    if max_iters is None:
+        max_iters = 2 * ef + 16
+    B = q.shape[0]
+    node_ok = g.valid if valid_override is None else (g.valid & valid_override)
+    cand_ok = node_ok & candidate_mask
+
+    seed_ok = (start >= 0) & node_ok[jnp.maximum(start, 0)]
+    seeds = jnp.where(seed_ok, start, NO_ID)
+    d = seed_distances(metric, g.vectors, g.norms, q, qn, seeds)
+    d = jnp.where(topk.unique_mask(seeds), d, INF)
+    seeds = jnp.where(d < INF, seeds, NO_ID)
+    seed_cand = jnp.where(cand_ok[jnp.maximum(seeds, 0)] & (seeds != NO_ID), seeds, NO_ID)
+    seed_cand_d = jnp.where(seed_cand != NO_ID, d, INF)
+
+    fr_d = jnp.full((B, ef), INF)
+    fr_id = jnp.full((B, ef), NO_ID, dtype=jnp.int32)
+    fr_exp = jnp.zeros((B, ef), dtype=jnp.int32)
+    fr_d, (fr_id, fr_exp) = topk.merge_sorted(
+        fr_d, (fr_id, fr_exp), d, (seeds, jnp.zeros_like(seeds)), ef
+    )
+    res_d = jnp.full((B, ef), INF)
+    res_id = jnp.full((B, ef), NO_ID, dtype=jnp.int32)
+    res_d, (res_id,) = topk.merge_sorted(res_d, (res_id,), seed_cand_d, (seed_cand,), ef)
+
+    def step(state):
+        fr_d, fr_id, fr_exp, res_d, res_id, it = state
+        unexp_d = jnp.where((fr_exp == 0) & (fr_id != NO_ID), fr_d, INF)
+        best_pos = jnp.argmin(unexp_d, axis=-1)
+        best_d = jnp.take_along_axis(unexp_d, best_pos[:, None], axis=-1)[:, 0]
+        worst = res_d[:, -1]
+        active = (best_d <= worst) & (best_d < INF)
+
+        mark = jax.nn.one_hot(best_pos, ef, dtype=fr_exp.dtype) * active[:, None].astype(
+            fr_exp.dtype
+        )
+        fr_exp = jnp.maximum(fr_exp, mark)
+
+        cur = jnp.take_along_axis(fr_id, best_pos[:, None], axis=-1)[:, 0]
+        nbs = g.links0[jnp.maximum(cur, 0)]
+        visited = topk.contains(nbs, fr_id) | topk.contains(nbs, res_id)
+        ok = (nbs >= 0) & active[:, None] & node_ok[jnp.maximum(nbs, 0)] & ~visited
+        vs, ns = _gather_rows(g.vectors, g.norms, nbs)
+        nd = distances.gathered_distances(metric, q, qn, vs, ns)
+        nd = jnp.where(ok, nd, INF)
+        nids = jnp.where(ok, nbs, NO_ID)
+
+        fr_d, (fr_id, fr_exp) = topk.merge_sorted(
+            fr_d, (fr_id, fr_exp), nd, (nids, jnp.zeros_like(nids)), ef
+        )
+        c_ok = ok & cand_ok[jnp.maximum(nbs, 0)]
+        cd = jnp.where(c_ok, nd, INF)
+        cids = jnp.where(c_ok, nbs, NO_ID)
+        res_d, (res_id,) = topk.merge_sorted(res_d, (res_id,), cd, (cids,), ef)
+        return fr_d, fr_id, fr_exp, res_d, res_id, it + 1
+
+    def cond(state):
+        fr_d, fr_id, fr_exp, res_d, _, it = state
+        unexp_d = jnp.where((fr_exp == 0) & (fr_id != NO_ID), fr_d, INF)
+        best_d = jnp.min(unexp_d, axis=-1)
+        active = (best_d <= res_d[:, -1]) & (best_d < INF)
+        return jnp.any(active) & (it < max_iters)
+
+    init = (fr_d, fr_id, fr_exp, res_d, res_id, jnp.int32(0))
+    fr_d, fr_id, fr_exp, res_d, res_id, iters = jax.lax.while_loop(cond, step, init)
+    return BeamResult(res_d, res_id, iters)
+
+
+# --------------------------------------------------------------------------
+# Full hnsw_search: descent + layer-0 beam (reader.rs:722-800)
+# --------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("ef", "max_iters"))
+def hnsw_search(
+    g: DeviceGraph,
+    q: jax.Array,  # [B, D*]
+    qn: jax.Array,  # [B]
+    ef: int,
+    max_iters: Optional[int] = None,
+) -> BeamResult:
+    """Greedy descent from the entry points through layers L..1, then an
+    ef-wide layer-0 beam (reference hnsw_search, reader.rs:722-800)."""
+    if g.max_level >= 1:
+        ep = greedy_descend(g, q, qn, g.max_level, 1)
+        start = ep[:, None]
+    else:
+        start = jnp.broadcast_to(
+            g.entry_slots[None, :], (q.shape[0], g.entry_slots.shape[0])
+        )
+    return beam_search(g, q, qn, start, ef, max_iters)
+
+
+@partial(jax.jit, static_argnames=("ef", "max_iters"))
+def hnsw_search_filtered(
+    g: DeviceGraph,
+    q: jax.Array,
+    qn: jax.Array,
+    candidate_mask: jax.Array,
+    ef: int,
+    max_iters: Optional[int] = None,
+) -> BeamResult:
+    if g.max_level >= 1:
+        ep = greedy_descend(g, q, qn, g.max_level, 1)
+        start = ep[:, None]
+    else:
+        start = jnp.broadcast_to(
+            g.entry_slots[None, :], (q.shape[0], g.entry_slots.shape[0])
+        )
+    return beam_search_filtered(g, q, qn, start, ef, candidate_mask, max_iters)

@@ -1,0 +1,144 @@
+"""Query-engine tests: device beam search over oracle-built graphs.
+
+Stage-4 validation (SURVEY §7): graphs come from the trusted sequential
+host builder; the device beam search must reach recall parity with what
+the reference achieves at comparable ef.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hannoy_tpu.build.host_builder import build_host_graph
+from hannoy_tpu.build.levels import assign_probas, sample_levels
+from hannoy_tpu.models.flat import flat_topk
+from hannoy_tpu.models.hnsw import to_device
+from hannoy_tpu.ops import beam, codecs, distances
+from hannoy_tpu.ops.distances import COSINE, EUCLIDEAN, HAMMING
+
+
+def _prep_queries(metric, raw):
+    p = codecs.pack(raw, metric.codec)
+    n = distances.np_norms(metric, p)
+    return jnp.asarray(p), jnp.asarray(n)
+
+
+def _recall(found_slots, true_slots):
+    hits = sum(
+        len(set(f.tolist()) & set(t.tolist())) for f, t in zip(found_slots, true_slots)
+    )
+    return hits / true_slots.size
+
+
+def _recall_by_dist(found_dists, exact_dists, k):
+    """Tie-aware recall: a found neighbor counts if its distance does not
+    exceed the k-th exact distance (hamming/bq metrics are heavily
+    quantised, making id-set recall ill-defined under ties)."""
+    thresh = exact_dists[:, k - 1 : k] + 1e-6
+    return float((found_dists[:, :k] <= thresh).mean())
+
+
+def test_level_probas_shape():
+    p = assign_probas(16)
+    assert p[0] == pytest.approx(1 - 1 / 16, rel=1e-5)
+    assert p[1] == pytest.approx((1 / 16) * (1 - 1 / 16), rel=1e-4)
+    assert (np.diff(p) < 0).all()
+
+
+def test_sample_levels_distribution():
+    rng = np.random.default_rng(42)
+    lv = sample_levels(rng, 16, 20000)
+    frac0 = (lv == 0).mean()
+    assert 0.92 < frac0 < 0.95  # ≈ 15/16
+
+
+@pytest.mark.parametrize("metric", [EUCLIDEAN, COSINE, HAMMING], ids=lambda m: m.name.split()[0])
+def test_beam_recall_vs_exact(rng, metric):
+    n, d, k, ef = 1200, 32, 10, 100
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    g = build_host_graph(metric, data, np.arange(n), m=12, m0=24, ef_construction=64)
+    g.check_validity()
+    dev = to_device(g)
+
+    queries = rng.standard_normal((16, d)).astype(np.float32)
+    q, qn = _prep_queries(metric, queries)
+
+    exact_d, exact_s = flat_topk(metric.name, q, qn, dev.vectors, dev.norms, dev.valid, k)
+    res = beam.hnsw_search(dev, q, qn, ef)
+    rec = _recall_by_dist(np.asarray(res.dists), np.asarray(exact_d), k)
+    assert rec >= 0.9, f"recall@{k}={rec} too low for {metric.name}"
+    # distances in the pool are sorted ascending
+    pd = np.asarray(res.dists)
+    assert (np.diff(pd, axis=1) >= -1e-6).all()
+
+
+def test_beam_exactness_on_tiny_graph(rng):
+    """k == n → every item must be returned (reachability property,
+    reference proptest all_items_are_reachable, src/tests/reader.rs:101-111)."""
+    n, d = 40, 8
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    g = build_host_graph(EUCLIDEAN, data, np.arange(n), m=4, m0=8, ef_construction=32)
+    dev = to_device(g)
+    q, qn = _prep_queries(EUCLIDEAN, rng.standard_normal((4, d)).astype(np.float32))
+    res = beam.hnsw_search(dev, q, qn, ef=n)
+    for row in np.asarray(res.slots):
+        assert set(row.tolist()) >= set(range(n))
+
+
+def test_filtered_beam_excludes_non_candidates(rng):
+    n, d, k = 400, 16, 10
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    g = build_host_graph(EUCLIDEAN, data, np.arange(n), m=8, m0=16, ef_construction=48)
+    dev = to_device(g)
+    q, qn = _prep_queries(EUCLIDEAN, rng.standard_normal((8, d)).astype(np.float32))
+
+    cand = np.zeros(dev.capacity, dtype=bool)
+    allowed = rng.choice(n, size=120, replace=False)
+    cand[allowed] = True
+
+    res = beam.hnsw_search_filtered(dev, q, qn, jnp.asarray(cand), ef=40)
+    slots = np.asarray(res.slots)
+    for row in slots:
+        for s in row[row >= 0]:
+            assert cand[s], "non-candidate leaked into filtered results"
+
+    # recall vs exact-over-candidates (reference candidate-filter exactness,
+    # src/tests/reader.rs:42-78 checks filtered results match brute force)
+    exact_d, exact_s = flat_topk(
+        EUCLIDEAN.name, q, qn, dev.vectors, dev.norms, dev.valid & jnp.asarray(cand), k
+    )
+    rec = _recall(slots[:, :k], np.asarray(exact_s))
+    assert rec >= 0.85, f"filtered recall {rec}"
+
+
+def test_greedy_descend_finds_good_entry(rng):
+    n, d = 1200, 16
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    g = build_host_graph(EUCLIDEAN, data, np.arange(n), m=8, m0=16, ef_construction=48)
+    if g.max_level == 0:
+        pytest.skip("sampled flat graph")
+    dev = to_device(g)
+    q, qn = _prep_queries(EUCLIDEAN, data[:8])  # queries = existing points
+    eps = beam.greedy_descend(dev, q, qn, dev.max_level, 1)
+    # the descent entry must be closer than a random entry on average
+    d_entry = np.asarray(
+        beam.seed_distances(EUCLIDEAN, dev.vectors, dev.norms, q, qn, eps[:, None])
+    )[:, 0]
+    d_rand = distances.np_pairwise(
+        EUCLIDEAN, np.asarray(q), np.asarray(qn), g.vectors[:n], g.norms[:n]
+    ).mean()
+    assert d_entry.mean() < d_rand
+
+
+def test_empty_and_single_item_graphs(rng):
+    # single item: search must return it (reference writer.rs single-vector
+    # snapshot test, src/tests/writer.rs:110-128)
+    data = rng.standard_normal((1, 8)).astype(np.float32)
+    g = build_host_graph(EUCLIDEAN, data, np.array([7]), m=4, m0=8)
+    g.check_validity()
+    dev = to_device(g)
+    q, qn = _prep_queries(EUCLIDEAN, rng.standard_normal((2, 8)).astype(np.float32))
+    res = beam.hnsw_search(dev, q, qn, ef=10)
+    slots = np.asarray(res.slots)
+    assert (slots[:, 0] == 0).all()
+    assert (slots[:, 1:] == -1).all()
