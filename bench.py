@@ -1,0 +1,123 @@
+"""Headline benchmark: build + search 100k × 768d cosine on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Baseline (BASELINE.md, datacomp-small 768d, 100K rows, 8-core i7-6900K):
+  hannoy build 31.51 s (3173 vec/s), search 15.73 ms/query at recall@10
+  0.93 with ef=200 → 63.6 QPS single-threaded.
+
+Our headline metric is batched QPS at recall@10 >= 0.93 (same recall bar,
+same k), measured against exact ground truth computed on device. Build
+throughput is reported alongside.
+
+Env knobs: HANNOY_BENCH_N (default 100000), HANNOY_BENCH_D (768),
+HANNOY_BENCH_Q (256 queries per batch), HANNOY_BENCH_EF (sweep list).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+from hannoy_tpu.build.builder import BuildOptions, build_graph
+from hannoy_tpu.models.flat import flat_topk
+from hannoy_tpu.models.hnsw import HostGraph, slot_capacity, to_device
+from hannoy_tpu.ops import beam, codecs, distances
+
+BASELINE_QPS = 1000.0 / 15.73  # hannoy 100K datacomp, ef=200, recall@10 0.93
+BASELINE_BUILD_VPS = 100_000 / 31.51
+RECALL_BAR = 0.93
+K = 10
+
+
+def main() -> None:
+    n = int(os.environ.get("HANNOY_BENCH_N", 100_000))
+    d = int(os.environ.get("HANNOY_BENCH_D", 768))
+    n_queries = int(os.environ.get("HANNOY_BENCH_Q", 256))
+    ef_sweep = [int(x) for x in os.environ.get("HANNOY_BENCH_EF", "50,100,200").split(",")]
+    m, m0, efc = 16, 32, 100
+
+    metric = distances.COSINE
+    rng = np.random.default_rng(42)
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((n_queries, d)).astype(np.float32)
+
+    # ---- stage ----
+    g = HostGraph.empty(metric, d, m, m0, capacity=slot_capacity(n))
+    packed = codecs.pack(data, metric.codec)
+    norms = distances.np_norms(metric, packed)
+    slots = np.arange(n, dtype=np.int64)
+    for i in range(n):
+        g.alloc_slot(i)
+    g.vectors[:n] = packed
+    g.norms[:n] = norms
+
+    # ---- build (timed) ----
+    t0 = time.perf_counter()
+    build_graph(g, slots, np.empty(0, dtype=np.int64), BuildOptions(ef_construction=efc, wave_size=1024))
+    build_s = time.perf_counter() - t0
+    build_vps = n / build_s
+
+    dev = to_device(g)
+    qp = codecs.pack(queries, metric.codec)
+    q = jnp.asarray(qp)
+    qn = jnp.asarray(distances.np_norms(metric, qp))
+
+    # ---- exact ground truth on device ----
+    exact_d, _ = flat_topk(metric.name, q, qn, dev.vectors, dev.norms, dev.valid, K)
+    exact_d = np.asarray(exact_d)
+    thresh = exact_d[:, K - 1 : K] + 1e-6
+
+    # ---- ef sweep: find QPS at the recall bar ----
+    results = {}
+    chosen = None
+    for ef in ef_sweep:
+        res = beam.hnsw_search(dev, q, qn, ef)
+        jax.block_until_ready(res.dists)
+        t0 = time.perf_counter()
+        reps = 5
+        for _ in range(reps):
+            res = beam.hnsw_search(dev, q, qn, ef)
+        jax.block_until_ready(res.dists)
+        dt = (time.perf_counter() - t0) / reps
+        found = np.asarray(res.dists)[:, :K]
+        recall = float((found <= thresh).mean())
+        qps = n_queries / dt
+        results[ef] = (recall, qps)
+        if recall >= RECALL_BAR and chosen is None:
+            chosen = ef
+    if chosen is None:
+        chosen = max(ef_sweep)
+
+    recall, qps = results[chosen]
+    print(
+        json.dumps(
+            {
+                "metric": f"qps_at_recall10_{RECALL_BAR}_cosine_{n}x{d}",
+                "value": round(qps, 1),
+                "unit": "qps",
+                "vs_baseline": round(qps / BASELINE_QPS, 2),
+                "recall_at_10": round(recall, 4),
+                "ef": chosen,
+                "build_seconds": round(build_s, 2),
+                "build_vectors_per_s": round(build_vps, 1),
+                "build_vs_baseline": round(build_vps / BASELINE_BUILD_VPS, 2),
+                "sweep": {str(e): [round(r, 4), round(s, 1)] for e, (r, s) in results.items()},
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,868 @@
+"""User-facing API: Database / Writer / Reader / Metric.
+
+Mirrors both layers of the reference's public surface:
+
+* the PyO3 module (``src/python.rs``, stubs in ``hannoy.pyi``):
+  ``Database(path, distance, name, env_size)``, ``db.writer(dimensions,
+  index, m, ef)`` as a context manager whose ``__exit__`` builds and
+  commits, ``db.reader(index)``, ``reader.by_vec(q, n, ef_search)``,
+  ``commit_rw_txn``/``abort_rw_txn``, a shared lazily-opened write
+  transaction (python.rs:409-417);
+* the Rust library (``src/writer.rs``, ``src/reader.rs``): ``add_item`` /
+  ``del_item`` / ``clear`` / ``need_build`` / ``contains_item`` /
+  ``item_vector`` / ``iter`` / builder options (``ef_construction``,
+  ``alpha``, ``cancel``, ``progress``) / ``force_rebuild``, and the
+  ``Reader.nns(count)`` QueryBuilder (``ef_search``, ``candidates``,
+  ``linear_below``, ``linear_below_ratio``, ``by_vector``, ``by_item``,
+  cancellation variants returning partial results).
+
+TPU specifics: Readers hold the index in HBM and answer batched queries
+(``by_vecs``) at full throughput; single-query calls are a batch of one.
+"""
+
+from __future__ import annotations
+
+import enum
+import os
+import struct
+import threading
+from dataclasses import dataclass
+from typing import Callable, Iterator, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from .build import builder as _builder
+from .build import wave_ops
+from .errors import (
+    InvalidItemAppend,
+    InvalidVecDimension,
+    MissingMetadata,
+    NeedBuild,
+    UnknownVersion,
+    UnmatchingDistance,
+)
+from .models import hnsw as _hnsw
+from .models.flat import flat_topk
+from .models.hnsw import HostGraph
+from .ops import beam as _beam
+from .ops import codecs, distances
+from .store.env import Env
+from .store.schema import (
+    Key,
+    Metadata,
+    Prefix,
+    UpdateStatus,
+    decode_item,
+    decode_update_status,
+    decode_version,
+    encode_item,
+    encode_links,
+    encode_update_status,
+    encode_version,
+)
+from .utils.idset import IdSet
+from .utils.progress import BuildStep, NoProgress
+from .utils.stats import BuildStats
+from .version import CURRENT_VERSION
+
+DEFAULT_ENV_SIZE = 1024 * 1024 * 1024  # 1 GiB (python.rs:15)
+DEFAULT_EF_SEARCH = 100  # reader.rs:23
+DEFAULT_LINEAR_SCAN_THRESHOLD = 1000  # reader.rs:29
+DEFAULT_LINEAR_SCAN_THRESHOLD_RATIO = 1.0  # reader.rs:32
+
+
+class Metric(enum.Enum):
+    """Supported distance metrics (reference ``PyDistance``, python.rs:25-56)."""
+
+    COSINE = "cosine"
+    EUCLIDEAN = "euclidean"
+    MANHATTAN = "manhattan"
+    BQ_COSINE = "bq_cosine"
+    BQ_EUCLIDEAN = "bq_euclidean"
+    BQ_MANHATTAN = "bq_manhattan"
+    HAMMING = "hamming"
+
+    def __str__(self) -> str:
+        return self.value
+
+    @property
+    def distance(self) -> distances.Metric:
+        return _METRIC_MAP[self]
+
+
+_METRIC_MAP = {
+    Metric.COSINE: distances.COSINE,
+    Metric.EUCLIDEAN: distances.EUCLIDEAN,
+    Metric.MANHATTAN: distances.MANHATTAN,
+    Metric.BQ_COSINE: distances.BQ_COSINE,
+    Metric.BQ_EUCLIDEAN: distances.BQ_EUCLIDEAN,
+    Metric.BQ_MANHATTAN: distances.BQ_MANHATTAN,
+    Metric.HAMMING: distances.HAMMING,
+}
+
+# one Env per path, process-wide (reference ENV OnceCell, python.rs:18)
+_ENVS: dict[str, Env] = {}
+_ENVS_LOCK = threading.Lock()
+
+
+def _shared_env(path: str, map_size: int) -> Env:
+    key = os.path.realpath(path)
+    with _ENVS_LOCK:
+        env = _ENVS.get(key)
+        if env is None:
+            env = Env(path, map_size)
+            env._graph_cache = {}  # {(name,index): (gen_id, HostGraph)}
+            env._shared_wtxn = None
+            _ENVS[key] = env
+        return env
+
+
+@dataclass
+class Searched:
+    """Search result container (reference ``Searched``, reader.rs:36-57)."""
+
+    nns: list[tuple[int, float]]
+    did_cancel: bool = False
+
+    def into_nns(self) -> list[tuple[int, float]]:
+        return self.nns
+
+
+class Database:
+    """A persistent vector database (reference ``PyDatabase``).
+
+    One shared write transaction per environment is opened lazily by any
+    Writer operation and lives until ``commit_rw_txn``/``abort_rw_txn`` —
+    the Writer context manager commits on exit (python.rs:305-314).
+    """
+
+    def __init__(
+        self,
+        path: str | os.PathLike,
+        distance: Metric = Metric.EUCLIDEAN,
+        name: Optional[str] = None,
+        env_size: Optional[int] = None,
+    ):
+        self._env = _shared_env(str(path), env_size or DEFAULT_ENV_SIZE)
+        self._db = self._env.create_database(None, name)
+        self._metric = distance
+
+    # -- transactions --------------------------------------------------
+    def _wtxn(self):
+        if self._env._shared_wtxn is None or not self._env._shared_wtxn.active:
+            self._env._shared_wtxn = self._env.write_txn()
+        return self._env._shared_wtxn
+
+    def commit_rw_txn(self) -> bool:
+        txn = self._env._shared_wtxn
+        if txn is not None and txn.active:
+            txn.commit()
+            self._env._shared_wtxn = None
+            # stamp pending built graphs with the new generation
+            for key, graph in getattr(txn, "_pending_graphs", {}).items():
+                self._env._graph_cache[key] = (self._env._gen.gen_id, graph)
+            return True
+        return False
+
+    def abort_rw_txn(self) -> bool:
+        txn = self._env._shared_wtxn
+        if txn is not None and txn.active:
+            txn.abort()
+            self._env._shared_wtxn = None
+            return True
+        return False
+
+    # -- handles ---------------------------------------------------------
+    def writer(
+        self,
+        dimensions: int,
+        index: int = 0,
+        m: int = 16,
+        ef: int = 96,
+        m0: Optional[int] = None,
+    ) -> "Writer":
+        """Get a writer (python.rs:119-151; m0 defaults to 2*m)."""
+        return Writer(self, index, dimensions, m=m, m0=m0 or 2 * m, ef_construction=ef)
+
+    def reader(self, index: int = 0) -> "Reader":
+        return Reader.open(self, index)
+
+    @property
+    def metric(self) -> Metric:
+        return self._metric
+
+
+class HannoyBuilder:
+    """Fluent build configuration (reference ``HannoyBuilder``,
+    writer.rs:27-259)."""
+
+    def __init__(self, writer: "Writer", seed: int = 42):
+        self._writer = writer
+        self._opts = _builder.BuildOptions(seed=seed)
+        self._opts.ef_construction = writer._ef_construction
+
+    def ef_construction(self, ef: int) -> "HannoyBuilder":
+        self._opts.ef_construction = ef
+        return self
+
+    def alpha(self, alpha: float) -> "HannoyBuilder":
+        self._opts.alpha = alpha
+        return self
+
+    def cancel(self, fn: Callable[[], bool]) -> "HannoyBuilder":
+        self._opts.cancel = fn
+        return self
+
+    def progress(self, sink) -> "HannoyBuilder":
+        self._opts.progress = sink
+        return self
+
+    def wave_size(self, w: int) -> "HannoyBuilder":
+        self._opts.wave_size = w
+        return self
+
+    def build(self, m: Optional[int] = None, m0: Optional[int] = None) -> BuildStats:
+        return self._writer._build(self._opts, m=m, m0=m0)
+
+    def force_rebuild(self, m: Optional[int] = None, m0: Optional[int] = None) -> BuildStats:
+        return self._writer._force_rebuild(self._opts, m=m, m0=m0)
+
+
+class Writer:
+    """Item CRUD + build orchestration (reference ``Writer``,
+    writer.rs:275-718)."""
+
+    def __init__(
+        self,
+        database: Database,
+        index: int,
+        dimensions: int,
+        m: int = 16,
+        m0: int = 32,
+        ef_construction: int = 96,
+    ):
+        self._database = database
+        self._index = index
+        self._dimensions = dimensions
+        self._m = m
+        self._m0 = m0
+        self._ef_construction = ef_construction
+        self._metric = database.metric.distance
+
+    # -- context manager (python.rs:300-314) --------------------------------
+    def __enter__(self) -> "Writer":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is None:
+            self.builder(seed=42).build()
+            self._database.commit_rw_txn()
+        else:
+            self._database.abort_rw_txn()
+
+    # -- CRUD ---------------------------------------------------------------
+    def add_item(self, item: int, vector: Sequence[float]) -> None:
+        """Store a vector + journal stone (writer.rs:462-480)."""
+        if not (isinstance(item, (int, np.integer)) and 0 <= int(item) < 2**32):
+            raise InvalidItemAppend(item)
+        vec = np.asarray(vector, dtype=np.float32).reshape(-1)
+        if vec.shape[0] != self._dimensions:
+            raise InvalidVecDimension(self._dimensions, vec.shape[0])
+        packed = codecs.pack(vec[None, :], self._metric.codec)
+        norm = distances.np_norms(self._metric, packed)[0]
+        wtxn = self._database._wtxn()
+        db = self._database._db
+        header = struct.pack("<f", float(norm))
+        db.put(
+            wtxn,
+            Key.item(self._index, int(item)).to_bytes(),
+            encode_item(header, codecs.vector_to_bytes(vec, self._metric.codec)),
+        )
+        db.put(
+            wtxn,
+            Key.updated(self._index, int(item)).to_bytes(),
+            encode_update_status(UpdateStatus.UPDATED),
+        )
+
+    def add_items(self, items: Sequence[int], vectors: np.ndarray) -> None:
+        """Batched insert — the TPU-native bulk path."""
+        vectors = np.asarray(vectors, dtype=np.float32)
+        if vectors.ndim != 2 or vectors.shape[1] != self._dimensions:
+            raise InvalidVecDimension(self._dimensions, vectors.shape[-1])
+        packed = codecs.pack(vectors, self._metric.codec)
+        norms = distances.np_norms(self._metric, packed)
+        wtxn = self._database._wtxn()
+        db = self._database._db
+        codec = self._metric.codec
+        for i, item in enumerate(items):
+            if not (0 <= int(item) < 2**32):
+                raise InvalidItemAppend(item)
+            header = struct.pack("<f", float(norms[i]))
+            raw = packed[i].astype("<f4" if codec == codecs.F32 else "<u4").tobytes()
+            db.put(wtxn, Key.item(self._index, int(item)).to_bytes(), encode_item(header, raw))
+            db.put(
+                wtxn,
+                Key.updated(self._index, int(item)).to_bytes(),
+                encode_update_status(UpdateStatus.UPDATED),
+            )
+
+    def del_item(self, item: int) -> bool:
+        """Delete + journal stone; True if it existed (writer.rs:483-495)."""
+        wtxn = self._database._wtxn()
+        db = self._database._db
+        if db.delete(wtxn, Key.item(self._index, int(item)).to_bytes()):
+            db.put(
+                wtxn,
+                Key.updated(self._index, int(item)).to_bytes(),
+                encode_update_status(UpdateStatus.REMOVED),
+            )
+            return True
+        return False
+
+    def clear(self) -> None:
+        """Remove everything for this index (writer.rs:498-511)."""
+        wtxn = self._database._wtxn()
+        db = self._database._db
+        for key, _ in list(db.prefix_iter(wtxn, Prefix.all(self._index))):
+            db.delete(wtxn, key)
+        self._database._env._graph_cache.pop(self._cache_key, None)
+
+    # -- introspection --------------------------------------------------
+    def need_build(self) -> bool:
+        """Journal non-empty or never built (writer.rs:423-436)."""
+        txn = self._database._wtxn()
+        db = self._database._db
+        if next(iter(db.prefix_iter(txn, Prefix.updated(self._index))), None) is not None:
+            return True
+        return db.get(txn, Key.metadata(self._index).to_bytes()) is None
+
+    def contains_item(self, item: int) -> bool:
+        txn = self._database._wtxn()
+        return self._database._db.get(txn, Key.item(self._index, int(item)).to_bytes()) is not None
+
+    def item_vector(self, item: int) -> Optional[list[float]]:
+        txn = self._database._wtxn()
+        return _get_item_vector(
+            self._database._db, txn, self._index, int(item), self._metric, self._dimensions
+        )
+
+    def iter(self) -> Iterator[tuple[int, list[float]]]:
+        txn = self._database._wtxn()
+        return _item_iter(self._database._db, txn, self._index, self._metric, self._dimensions)
+
+    def is_empty(self) -> bool:
+        return next(self.iter(), None) is None
+
+    # -- building ---------------------------------------------------------
+    def builder(self, seed: int = 42) -> HannoyBuilder:
+        return HannoyBuilder(self, seed=seed)
+
+    def build(self, **kw) -> BuildStats:
+        return self.builder().build(**kw)
+
+    @property
+    def _cache_key(self):
+        return (self._database._db.name, self._index)
+
+    def _load_or_cached_graph(self, wtxn, metadata: Optional[Metadata]) -> HostGraph:
+        env = self._database._env
+        cached = env._graph_cache.get(self._cache_key)
+        if cached is not None:
+            gen, graph = cached
+            fresh = gen == env._gen.gen_id and not getattr(wtxn, "overlay", None)
+            pending = getattr(wtxn, "_pending_graphs", {}).get(self._cache_key)
+            if pending is not None:
+                graph = pending
+                fresh = True
+            if (
+                fresh
+                and graph.metric.name == self._metric.name
+                and graph.m == self._m
+                and graph.m0 == self._m0
+            ):
+                return graph
+        if metadata is None:
+            return HostGraph.empty(self._metric, self._dimensions, self._m, self._m0)
+        md = Metadata(
+            dimensions=metadata.dimensions,
+            items=metadata.items,
+            distance=metadata.distance,
+            entry_points=metadata.entry_points,
+            max_level=metadata.max_level,
+            m=self._m,
+            m0=self._m0,
+        )
+        g = HostGraph.load(self._database._db, wtxn, self._index, self._metric, md)
+        if len(metadata.items):
+            dev = _hnsw.to_device(g)
+            dev = wave_ops.fill_link_dists(dev, g)
+            _hnsw.from_device(g, dev)
+        return g
+
+    def _build(self, opts: _builder.BuildOptions, m=None, m0=None) -> BuildStats:
+        if m is not None:
+            self._m = m
+            self._m0 = m0 or 2 * m
+        wtxn = self._database._wtxn()
+        db = self._database._db
+        stats = BuildStats()
+
+        # 1. journal scan + clear (writer.rs:645-688)
+        opts.progress.update(BuildStep.RETRIEVE_THE_UPDATED_ITEMS)
+        updated, deleted = [], []
+        for key, val in list(db.prefix_iter(wtxn, Prefix.updated(self._index))):
+            k = Key.from_bytes(key)
+            updated.append(k.item)
+            if decode_update_status(val) == UpdateStatus.REMOVED:
+                deleted.append(k.item)
+            db.delete(wtxn, key)
+        updated_items = IdSet(np.asarray(updated, dtype=np.uint32))
+        deleted_items = IdSet(np.asarray(deleted, dtype=np.uint32))
+
+        # 2. set algebra (writer.rs:539-554)
+        md_bytes = db.get(wtxn, Key.metadata(self._index).to_bytes())
+        metadata = Metadata.from_bytes(md_bytes) if md_bytes else None
+        indexed = metadata.items if metadata else IdSet()
+        item_indices = ((updated_items - deleted_items) | indexed) - deleted_items
+        to_delete = updated_items - item_indices
+        to_insert = item_indices & updated_items
+
+        # 3. stage graph
+        g = self._load_or_cached_graph(wtxn, metadata)
+        insert_slots = np.empty(len(to_insert), dtype=np.int64)
+        g.grow(_hnsw.slot_capacity(len(item_indices)))
+        for i, item in enumerate(to_insert):
+            s = g.alloc_slot(int(item))
+            insert_slots[i] = s
+            val = db.get(wtxn, Key.item(self._index, int(item)).to_bytes())
+            header, vecb = decode_item(val)
+            g.vectors[s] = codecs.vector_from_bytes(vecb, self._metric.codec)
+            g.norms[s] = struct.unpack("<f", header)[0]
+        delete_slots = np.asarray(
+            [g.id_to_slot[int(i)] for i in to_delete if int(i) in g.id_to_slot],
+            dtype=np.int64,
+        )
+
+        # 4. device build
+        if len(insert_slots) or len(delete_slots):
+            _builder.build_graph(g, insert_slots, delete_slots, opts, stats)
+
+        # 5. delete links of removed items AFTER build (writer.rs:577-580)
+        opts.progress.update(BuildStep.DELETING_THE_LINKS)
+        for key, _ in list(db.prefix_iter(wtxn, Prefix.links(self._index))):
+            if Key.from_bytes(key).item in to_delete:
+                db.delete(wtxn, key)
+        for s in delete_slots:
+            g.release_slot(int(s))
+
+        # 6. flush links + metadata + version (writer.rs:585-600)
+        opts.progress.update(BuildStep.WRITING_THE_ITEMS)
+        g.flush_links(db, wtxn, self._index)
+        opts.progress.update(BuildStep.WRITE_THE_METADATA)
+        entry_ids = [int(g.ids[s]) for s in g.entry_slots]
+        db.put(
+            wtxn,
+            Key.metadata(self._index).to_bytes(),
+            Metadata(
+                dimensions=self._dimensions,
+                items=item_indices,
+                distance=self._metric.name,
+                entry_points=entry_ids,
+                max_level=g.max_level,
+                m=self._m,
+                m0=self._m0,
+            ).to_bytes(),
+        )
+        db.put(wtxn, Key.version(self._index).to_bytes(), encode_version(CURRENT_VERSION))
+
+        if not hasattr(wtxn, "_pending_graphs"):
+            wtxn._pending_graphs = {}
+        wtxn._pending_graphs[self._cache_key] = g
+        stats.log()
+        return stats
+
+    def _force_rebuild(self, opts: _builder.BuildOptions, m=None, m0=None) -> BuildStats:
+        """Drop all links and relink every indexed item (writer.rs:610-638)."""
+        wtxn = self._database._wtxn()
+        db = self._database._db
+        md_bytes = db.get(wtxn, Key.metadata(self._index).to_bytes())
+        if md_bytes is None:
+            raise MissingMetadata(self._index)
+        metadata = Metadata.from_bytes(md_bytes)
+        for key, _ in list(db.prefix_iter(wtxn, Prefix.links(self._index))):
+            db.delete(wtxn, key)
+        for item in metadata.items:
+            db.put(
+                wtxn,
+                Key.updated(self._index, int(item)).to_bytes(),
+                encode_update_status(UpdateStatus.UPDATED),
+            )
+        self._database._env._graph_cache.pop(self._cache_key, None)
+        db.delete(wtxn, Key.metadata(self._index).to_bytes())
+        return self._build(opts, m=m, m0=m0)
+
+    def prepare_changing_distance(self, new_metric: Metric) -> "Writer":
+        """Re-own all items under a new metric (writer.rs:358-410); links
+        survive only for the plain→binary-quantized fast path."""
+        wtxn = self._database._wtxn()
+        db = self._database._db
+        old = self._metric
+        new = new_metric.distance
+        if new.name != old.name:
+            bq_fast_path = new.name == f"binary quantized {old.name}"
+            if not bq_fast_path:
+                for key, _ in list(db.prefix_iter(wtxn, Prefix.links(self._index))):
+                    db.delete(wtxn, key)
+                db.delete(wtxn, Key.metadata(self._index).to_bytes())
+            for key, val in list(db.prefix_iter(wtxn, Prefix.item(self._index))):
+                k = Key.from_bytes(key)
+                _, vecb = decode_item(val)
+                vec = codecs.unpack(
+                    codecs.vector_from_bytes(vecb, old.codec)[None, :],
+                    self._dimensions,
+                    old.codec,
+                )[0]
+                packed = codecs.pack(vec[None, :], new.codec)
+                norm = distances.np_norms(new, packed)[0]
+                db.put(
+                    wtxn,
+                    key,
+                    encode_item(
+                        struct.pack("<f", float(norm)), codecs.vector_to_bytes(vec, new.codec)
+                    ),
+                )
+                db.put(
+                    wtxn,
+                    Key.updated(self._index, k.item).to_bytes(),
+                    encode_update_status(UpdateStatus.UPDATED),
+                )
+            self._database._env._graph_cache.pop(self._cache_key, None)
+        new_db = Database.__new__(Database)
+        new_db._env = self._database._env
+        new_db._db = self._database._db
+        new_db._metric = new_metric
+        return Writer(
+            new_db, self._index, self._dimensions, self._m, self._m0, self._ef_construction
+        )
+
+
+class QueryBuilder:
+    """Search options (reference ``QueryBuilder``, reader.rs:60-261)."""
+
+    def __init__(self, reader: "Reader", count: int):
+        self._reader = reader
+        self._count = count
+        self._ef = DEFAULT_EF_SEARCH
+        self._candidates: Optional[IdSet] = None
+        self._linear_below = DEFAULT_LINEAR_SCAN_THRESHOLD
+        self._linear_below_ratio = DEFAULT_LINEAR_SCAN_THRESHOLD_RATIO
+
+    def ef_search(self, ef: int) -> "QueryBuilder":
+        self._ef = max(ef, self._count)
+        return self
+
+    def candidates(self, candidates) -> "QueryBuilder":
+        self._candidates = candidates if isinstance(candidates, IdSet) else IdSet(candidates)
+        return self
+
+    def linear_below(self, threshold: int) -> "QueryBuilder":
+        self._linear_below = threshold
+        return self
+
+    def linear_below_ratio(self, ratio: float) -> "QueryBuilder":
+        assert 0.0 <= ratio <= 1.0, "linear scan threshold ratio must be between 0.0 and 1.0"
+        self._linear_below_ratio = ratio
+        return self
+
+    def by_vector(self, vector: Sequence[float]) -> Searched:
+        return self._reader._nns_by_vec(self, np.asarray(vector, dtype=np.float32), lambda: False)
+
+    def by_vector_with_cancellation(self, vector, cancel_fn) -> Searched:
+        return self._reader._nns_by_vec(self, np.asarray(vector, dtype=np.float32), cancel_fn)
+
+    def by_item(self, item: int) -> Optional[Searched]:
+        return self._reader._nns_by_item(self, int(item), lambda: False)
+
+    def by_item_with_cancellation(self, item: int, cancel_fn) -> Optional[Searched]:
+        return self._reader._nns_by_item(self, int(item), cancel_fn)
+
+
+class Reader:
+    """Query handle over a built index (reference ``Reader``,
+    reader.rs:374-948). Holds its own read snapshot; the graph lives in HBM.
+    """
+
+    def __init__(self, database: Database, index: int, metadata: Metadata, version, graph):
+        self._database = database
+        self._index = index
+        self._metadata = metadata
+        self._version = version
+        self._graph = graph
+        self._dev = _hnsw.to_device(graph)
+        self._rtxn = database._env.read_txn()
+        self._metric = database.metric.distance
+
+    @classmethod
+    def open(cls, database: Database, index: int) -> "Reader":
+        """Open + validate (reader.rs:387-431): metadata present, matching
+        distance, clean journal."""
+        env = database._env
+        rtxn = env.read_txn()
+        db = database._db
+        md_bytes = db.get(rtxn, Key.metadata(index).to_bytes())
+        if md_bytes is None:
+            raise MissingMetadata(index)
+        metadata = Metadata.from_bytes(md_bytes)
+        vb = db.get(rtxn, Key.version(index).to_bytes())
+        version = decode_version(vb) if vb else None
+        if version and version > CURRENT_VERSION:
+            raise UnknownVersion(version, CURRENT_VERSION)
+        metric = database.metric.distance
+        if metric.name != metadata.distance:
+            raise UnmatchingDistance(metadata.distance, metric.name)
+        if next(iter(db.prefix_iter(rtxn, Prefix.updated(index))), None) is not None:
+            raise NeedBuild(index)
+
+        key = (db.name, index)
+        cached = env._graph_cache.get(key)
+        if cached is not None and cached[0] == env._gen.gen_id:
+            graph = cached[1]
+        else:
+            graph = HostGraph.load(db, rtxn, index, metric, metadata)
+            env._graph_cache[key] = (env._gen.gen_id, graph)
+        return cls(database, index, metadata, version, graph)
+
+    # -- introspection (reader.rs:545-606) ---------------------------------
+    def dimensions(self) -> int:
+        return self._metadata.dimensions
+
+    def n_items(self) -> int:
+        return len(self._metadata.items)
+
+    def n_entrypoints(self) -> int:
+        return len(self._metadata.entry_points)
+
+    def item_ids(self) -> IdSet:
+        return self._metadata.items
+
+    def index(self) -> int:
+        return self._index
+
+    def version(self):
+        return self._version
+
+    def is_empty(self) -> bool:
+        return len(self._metadata.items) == 0
+
+    def contains_item(self, item: int) -> bool:
+        return int(item) in self._metadata.items
+
+    def item_vector(self, item: int) -> Optional[list[float]]:
+        return _get_item_vector(
+            self._database._db, self._rtxn, self._index, int(item), self._metric, self.dimensions()
+        )
+
+    def iter(self) -> Iterator[tuple[int, list[float]]]:
+        return _item_iter(
+            self._database._db, self._rtxn, self._index, self._metric, self.dimensions()
+        )
+
+    def nns(self, count: int) -> QueryBuilder:
+        return QueryBuilder(self, count)
+
+    # -- python.rs-style convenience -----------------------------------
+    def by_vec(self, query: Sequence[float], n: int = 10, ef_search: int = 200):
+        """(python.rs:378-397)"""
+        return self.nns(n).ef_search(ef_search).by_vector(query).into_nns()
+
+    def by_vecs(
+        self, queries: np.ndarray, n: int = 10, ef_search: int = 200
+    ) -> list[list[tuple[int, float]]]:
+        """Batched search — the TPU-native throughput path."""
+        q, qn = self._prep_queries(np.asarray(queries, dtype=np.float32))
+        res = _beam.hnsw_search(self._dev, q, qn, ef=max(ef_search, n))
+        return self._collect(res, n)
+
+    # -- internals ----------------------------------------------------------
+    def _prep_queries(self, queries: np.ndarray):
+        queries = np.atleast_2d(queries)
+        if queries.shape[1] != self.dimensions():
+            raise InvalidVecDimension(self.dimensions(), queries.shape[1])
+        packed = codecs.pack(queries, self._metric.codec)
+        norms = distances.np_norms(self._metric, packed)
+        return jnp.asarray(packed), jnp.asarray(norms)
+
+    def _collect(self, res, count: int) -> list[list[tuple[int, float]]]:
+        slots = np.asarray(res.slots)[:, :count]
+        dists = np.asarray(res.dists)[:, :count]
+        out = []
+        ids = self._graph.ids
+        for b in range(slots.shape[0]):
+            row = []
+            for s, d in zip(slots[b], dists[b]):
+                if s >= 0 and np.isfinite(d):
+                    row.append((int(ids[s]), float(d)))
+            out.append(row)
+        return out
+
+    def _candidate_mask(self, candidates: Optional[IdSet]) -> Optional[np.ndarray]:
+        if candidates is None:
+            return None
+        mask = np.zeros(self._graph.capacity, dtype=bool)
+        for item in candidates:
+            s = self._graph.id_to_slot.get(int(item))
+            if s is not None:
+                mask[s] = True
+        return mask
+
+    def _should_linear_scan(self, opt: QueryBuilder) -> bool:
+        """reader.rs:622-640"""
+        all_ids = self.item_ids()
+        if not all_ids or opt._candidates is None:
+            return False
+        cand_len = all_ids.intersection_len(opt._candidates)
+        return (
+            cand_len < opt._linear_below
+            and cand_len / len(all_ids) <= opt._linear_below_ratio
+        )
+
+    def _nns_by_vec(self, opt: QueryBuilder, vector: np.ndarray, cancel_fn) -> Searched:
+        if vector.shape[-1] != self.dimensions():
+            raise InvalidVecDimension(self.dimensions(), vector.shape[-1])
+        item_ids = self.item_ids()
+        if not item_ids or (opt._candidates is not None and item_ids.isdisjoint(opt._candidates)):
+            return Searched([], False)
+        q, qn = self._prep_queries(vector[None, :])
+
+        if opt._candidates is not None and self._should_linear_scan(opt):
+            return self._brute_force(q, qn, opt._candidates, opt._count, cancel_fn)
+
+        return self._hnsw_search(q, qn, opt, cancel_fn)
+
+    def _nns_by_item(self, opt: QueryBuilder, item: int, cancel_fn) -> Optional[Searched]:
+        """Layer-0-only search seeded at the item, excluding it
+        (reader.rs:809-894)."""
+        item_ids = self.item_ids()
+        if not item_ids or (opt._candidates is not None and item_ids.isdisjoint(opt._candidates)):
+            return None
+        slot = self._graph.id_to_slot.get(int(item))
+        if slot is None:
+            return None
+        if opt._candidates is not None and self._should_linear_scan(opt):
+            vec = self.item_vector(item)
+            q, qn = self._prep_queries(np.asarray(vec, dtype=np.float32)[None, :])
+            return self._brute_force(q, qn, opt._candidates, opt._count, cancel_fn)
+
+        q = self._dev.vectors[slot][None, :]
+        qn = self._dev.norms[slot][None]
+        cand = self._candidate_mask(opt._candidates)
+        if cand is None:
+            cand = np.asarray(self._graph.valid_mask()).copy()
+        cand[slot] = False  # exclude self (reader.rs:839-842)
+        ef = max(opt._ef, opt._count)
+        if cancel_fn():
+            return Searched([], True)
+        seeds = jnp.asarray(np.asarray([[slot]], dtype=np.int32))
+        res = _beam.beam_search_filtered(self._dev, q, qn, seeds, ef, jnp.asarray(cand))
+        searched = Searched(self._collect(res, opt._count)[0], False)
+        return self._top_up(searched, q, qn, opt, exclude={int(item)})
+
+    def _brute_force(self, q, qn, candidates: IdSet, count: int, cancel_fn) -> Searched:
+        """reader.rs:668-711 — exact scan over the candidate set."""
+        mask = self._candidate_mask(candidates)
+        if cancel_fn():
+            return Searched([], True)
+        k = min(count, self._graph.capacity)
+        d, s = flat_topk(
+            self._metric.name, q, qn, self._dev.vectors, self._dev.norms, jnp.asarray(mask), k
+        )
+        res = _beam.BeamResult(d, s, jnp.int32(0))
+        return Searched(self._collect(res, count)[0], False)
+
+    def _hnsw_search(self, q, qn, opt: QueryBuilder, cancel_fn) -> Searched:
+        """reader.rs:722-800: descent, layer-0 beam, degraded top-up."""
+        ef = max(opt._ef, opt._count)
+        if cancel_fn():
+            return Searched([], True)
+        if opt._candidates is None:
+            res = _beam.hnsw_search(self._dev, q, qn, ef)
+        else:
+            mask = self._candidate_mask(opt._candidates)
+            res = _beam.hnsw_search_filtered(self._dev, q, qn, jnp.asarray(mask), ef)
+        cancelled = cancel_fn()
+        searched = Searched(self._collect(res, opt._count)[0], bool(cancelled))
+        if cancelled:
+            return searched
+        return self._top_up(searched, q, qn, opt)
+
+    def _top_up(self, searched: Searched, q, qn, opt: QueryBuilder, exclude=frozenset()) -> Searched:
+        """Degraded-search top-up (reader.rs:771-795): when the beam returns
+        fewer than ``count`` (trapped in a cyclic subgraph), finish with an
+        exact scan over unseen items — on TPU the exact scan *is* the
+        restart-visits loop's fixed point, so we go straight there."""
+        if len(searched.nns) >= opt._count:
+            return searched
+        have = {i for i, _ in searched.nns} | set(exclude)
+        mask = self._candidate_mask(opt._candidates)
+        if mask is None:
+            mask = np.asarray(self._graph.valid_mask()).copy()
+        for item in have:
+            s = self._graph.id_to_slot.get(int(item))
+            if s is not None:
+                mask[s] = False
+        missing = opt._count - len(searched.nns)
+        k = min(max(missing, 1), self._graph.capacity)
+        d, s = flat_topk(
+            self._metric.name, q, qn, self._dev.vectors, self._dev.norms, jnp.asarray(mask), k
+        )
+        extra = self._collect(_beam.BeamResult(d, s, jnp.int32(0)), missing)[0]
+        merged = sorted(searched.nns + extra, key=lambda t: t[1])[: opt._count]
+        return Searched(merged, searched.did_cancel)
+
+    def assert_validity(self) -> None:
+        """Graph invariant checker (reference assert_validity,
+        reader.rs:905-948)."""
+        self._graph.check_validity()
+        db = self._database._db
+        item_ids = IdSet(
+            np.asarray(
+                [Key.from_bytes(k).item for k, _ in db.prefix_iter(self._rtxn, Prefix.item(self._index))],
+                dtype=np.uint32,
+            )
+        )
+        assert item_ids == self._metadata.items
+        link_owner_ids = set()
+        from .store.schema import decode_links
+
+        for k, v in db.prefix_iter(self._rtxn, Prefix.links(self._index)):
+            key = Key.from_bytes(k)
+            link_owner_ids.add(key.item)
+            assert decode_links(v).issubset(item_ids), "dangling edge to deleted item"
+        assert link_owner_ids == set(item_ids), "every item must have links"
+        for ep in self._metadata.entry_points:
+            assert ep in item_ids
+
+
+# --------------------------------------------------------------------------
+# Shared item helpers (reference item_iter.rs, reader.rs:951-976)
+# --------------------------------------------------------------------------
+
+
+def _get_item_vector(db, txn, index, item, metric, dimensions) -> Optional[list[float]]:
+    val = db.get(txn, Key.item(index, item).to_bytes())
+    if val is None:
+        return None
+    _, vecb = decode_item(val)
+    row = codecs.vector_from_bytes(vecb, metric.codec)
+    vec = codecs.unpack(row[None, :], dimensions, metric.codec)[0]
+    return [float(x) for x in vec]
+
+
+def _item_iter(db, txn, index, metric, dimensions):
+    for key, val in db.prefix_iter(txn, Prefix.item(index)):
+        k = Key.from_bytes(key)
+        _, vecb = decode_item(val)
+        row = codecs.vector_from_bytes(vecb, metric.codec)
+        vec = codecs.unpack(row[None, :], dimensions, metric.codec)[0]
+        yield k.item, [float(x) for x in vec]

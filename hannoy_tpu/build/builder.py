@@ -1,0 +1,328 @@
+"""Wave-parallel HNSW construction — host orchestration.
+
+The TPU-native replacement for ``HnswBuilder`` (reference hnsw.rs:57-216):
+the host samples levels, resolves entry-point edge cases, composes
+level-descending waves, and drives the jitted device steps in
+``wave_ops.py``; all distance work happens on device.
+
+Mapping to the reference call stack (SURVEY §3.1):
+* level sampling                → ``levels.sample_levels`` (same quantiles)
+* prepare_levels_and_entry_points (hnsw.rs:222-289) → ``prepare_entry_points``
+  (same four edge cases: deleted-ep replacement, whole-graph-deleted reset,
+  old-ep re-indexing, new-top-level promotion)
+* rayon par_iter insert (hnsw.rs:172-185) → fixed-size waves per level group
+* fill_gaps_from_deleted (hnsw.rs:334-415) → ``repair_deleted_rows`` blocks
+* cancellation probing every CANCELLATION_PROBING ops (hnsw.rs:174-177)
+  → a cancel check between device waves
+* single-threaded LMDB flush (hnsw.rs:192-213) → ``HostGraph.flush_links``
+  by the Writer after ``from_device``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..errors import BuildCancelled
+from ..models import hnsw
+from ..models.hnsw import DeviceGraph, HostGraph
+from ..ops import beam
+from ..utils.progress import BuildStep, InsertItemsStep, NoProgress
+from ..utils.stats import BuildStats
+from . import wave_ops
+from .levels import sample_levels
+
+#: brute-force candidate search while the indexed graph is this small
+FLAT_BOOTSTRAP = 1024
+#: default wave width (items inserted per device step)
+DEFAULT_WAVE = 256
+#: rows repaired per device step in the deletion pass
+REPAIR_BLOCK = 512
+
+
+@dataclasses.dataclass
+class BuildOptions:
+    """Runtime build configuration (reference ``BuildOption``,
+    writer.rs:34-58: ef_construction default 100, alpha default 1.0,
+    cancel closure, progress sink)."""
+
+    ef_construction: int = 100
+    alpha: float = 1.0
+    cancel: Callable[[], bool] = lambda: False
+    progress: object = dataclasses.field(default_factory=NoProgress)
+    wave_size: int = DEFAULT_WAVE
+    seed: int = 42
+
+
+def prepare_entry_points(
+    g: HostGraph,
+    insert_slots: np.ndarray,
+    insert_levels: np.ndarray,
+    deleted_slots: set[int],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Resolve entry points before a (maybe incremental) build.
+
+    Mirrors hnsw.rs:222-289. Mutates ``g.entry_slots``/``g.max_level`` and
+    returns the final (slots, levels) insertion schedule — old entry points
+    are appended for re-indexing at the (old) max level.
+    """
+    old_eps = list(dict.fromkeys(g.entry_slots))
+    new_eps = [e for e in old_eps if e not in deleted_slots]
+    del_eps = [e for e in old_eps if e in deleted_slots]
+
+    # Replace deleted entry points with surviving nodes from top layers
+    # (hnsw.rs:242-257: scan layer links top-down for a non-deleted node).
+    if del_eps:
+        l = g.max_level
+        for _ in del_eps:
+            while True:
+                members = _layer_members(g, l)
+                found = False
+                for s in members:
+                    if s not in deleted_slots and s not in new_eps:
+                        new_eps.append(int(s))
+                        found = True
+                        break
+                if found or l == 0:
+                    break
+                l -= 1
+
+    # Case 1: whole previous graph deleted → reset height (hnsw.rs:261-263)
+    if del_eps and len(new_eps) != len(old_eps):
+        g.max_level = 0
+
+    # Schedule surviving old eps for re-indexing at the old max level
+    # (hnsw.rs:267-268) so old and new graphs stay connected.
+    sched = {int(s): int(lv) for s, lv in zip(insert_slots, insert_levels)}
+    for e in new_eps:
+        sched[int(e)] = max(sched.get(int(e), 0), g.max_level)
+
+    cur_max = int(insert_levels.max()) if len(insert_levels) else 0
+
+    # Case 2: new build reaches higher levels → new hnsw entry points
+    # (hnsw.rs:272-276).
+    if cur_max > g.max_level:
+        new_eps = []
+        g.max_level = cur_max
+
+    slots = np.asarray(sorted(sched, key=lambda s: -sched[s]), dtype=np.int64)
+    lvls = np.asarray([sched[int(s)] for s in slots], dtype=np.int32)
+
+    # Top-layer items become entry points, pre-added to all layers below
+    # (hnsw.rs:278-287).
+    for s, lv in zip(slots, lvls):
+        if lv == g.max_level and int(s) not in new_eps:
+            new_eps.append(int(s))
+
+    g.entry_slots = new_eps
+    return slots, lvls
+
+
+def _layer_members(g: HostGraph, level: int) -> np.ndarray:
+    if level == 0:
+        return np.nonzero(g.levels >= 0)[0]
+    if level - 1 >= len(g.slot_rows):
+        return np.empty(0, dtype=np.int64)
+    return np.nonzero(g.slot_rows[level - 1] >= 0)[0]
+
+
+def build_graph(
+    g: HostGraph,
+    insert_slots: np.ndarray,
+    deleted_slots: np.ndarray,
+    opts: BuildOptions,
+    stats: Optional[BuildStats] = None,
+) -> BuildStats:
+    """Run a full (fresh or incremental) build on device.
+
+    Preconditions: vectors/norms for ``insert_slots`` are already staged in
+    ``g``; ``deleted_slots`` rows still carry their old links (the reference
+    deletes links *after* the build so the repair pass can splice through
+    them, writer.rs:577-580).
+    """
+    stats = stats or BuildStats()
+    rng = np.random.default_rng(opts.seed)
+    deleted_set = {int(s) for s in deleted_slots}
+
+    insert_levels = sample_levels(rng, g.m, len(insert_slots))
+
+    opts.progress.update(BuildStep.RESOLVE_GRAPH_ENTRY_POINTS)
+    slots, lvls = prepare_entry_points(g, insert_slots, insert_levels, deleted_set)
+
+    # Allocate upper-layer rows up front (device tables are static per build)
+    g.ensure_layers(g.max_level)
+    for s, lv in zip(slots, lvls):
+        g.levels[s] = max(g.levels[s], lv)
+        for level in range(1, lv + 1):
+            g.upper_row(level, int(s))
+
+    for lv in np.unique(lvls):
+        stats.layer_dist[int(lv)] = stats.layer_dist.get(int(lv), 0) + int((lvls == lv).sum())
+
+    # Device valid mask: previously-indexed, not deleted, not re-inserted-yet
+    being_inserted = set(int(s) for s in slots)
+    active = (g.levels >= 0).copy()
+    for s in being_inserted:
+        active[s] = False
+    for s in deleted_set:
+        active[s] = False
+
+    dev = hnsw.to_device(g, max_entry_points=_ep_pad(len(g.entry_slots)))
+    dev = wave_ops._replace(dev, valid=jnp.asarray(active))
+    # beam traversal during the build may seed/visit anything that exists
+    # and is not deleted (see wave_ops.wave_insert_level node_ok)
+    exists_ok = (g.levels >= 0).copy()
+    for s_ in deleted_set:
+        exists_ok[s_] = False
+    node_ok = jnp.asarray(exists_ok)
+
+    # ---- insertion waves, level-descending (hnsw.rs:160-185) ----
+    opts.progress.update(BuildStep.BUILDING_THE_GRAPH)
+    total = len(slots)
+    done = 0
+    W = opts.wave_size
+    n_active = int(active.sum())
+
+    groups: list[tuple[int, np.ndarray]] = []
+    for lv in sorted(set(int(x) for x in lvls), reverse=True):
+        groups.append((lv, slots[lvls == lv]))
+
+    for lv, grp in groups:
+        start = 0
+        while start < len(grp):
+            if opts.cancel():
+                raise BuildCancelled()
+            # Wave-size ramp: a wave is blind to its own members (they link
+            # only to already-active nodes), so cap each wave at 1/4 of the
+            # active graph — the reference's racy threads see ~all prior
+            # inserts; this bounds our divergence. Pad to powers of two so
+            # the jitted step compiles O(log wave_size) times.
+            w_i = min(W, max(8, n_active // 4))
+            w_pad = 8
+            while w_pad < w_i:
+                w_pad *= 2
+            w_pad = min(w_pad, W)
+            chunk = grp[start : start + w_pad]
+            start += len(chunk)
+            wave = np.full(w_pad, -1, dtype=np.int32)
+            wave[: len(chunk)] = chunk
+            dev = _insert_wave(dev, wave, lv, opts, n_active, node_ok, stats)
+            dev = wave_ops.activate_wave(dev, jnp.asarray(wave))
+            n_active += len(chunk)
+            done += len(chunk)
+            stats.waves += 1
+            opts.progress.update(InsertItemsStep(done, total))
+
+    # ---- deletion repair (fill_gaps_from_deleted, hnsw.rs:334-415) ----
+    if deleted_set:
+        opts.progress.update(BuildStep.PATCH_OLD_NEW_DELETED_LINKS)
+        dev = _repair_deletions(g, dev, deleted_set, opts, stats)
+        dev = wave_ops.clear_slots(
+            dev, jnp.asarray(np.fromiter(deleted_set, dtype=np.int32))
+        )
+
+    # ---- sync back to host ----
+    hnsw.from_device(g, dev)
+    return stats
+
+
+def _ep_pad(n: int) -> int:
+    p = 32
+    while p < n:
+        p *= 2
+    return p
+
+
+def _insert_wave(
+    dev: DeviceGraph,
+    wave: np.ndarray,
+    lv: int,
+    opts: BuildOptions,
+    n_active: int,
+    node_ok,
+    stats: BuildStats,
+) -> DeviceGraph:
+    """Insert one wave: greedy descent to lv+1, then per-level beam +
+    prune + connect, chaining each level's pruned set as the next level's
+    seeds (hnsw.rs:291-328)."""
+    wave_j = jnp.asarray(wave)
+    q = dev.vectors[jnp.maximum(wave_j, 0)]
+    qn = dev.norms[jnp.maximum(wave_j, 0)]
+
+    use_flat = n_active <= FLAT_BOOTSTRAP
+
+    if dev.max_level > lv and not use_flat:
+        ep = beam.greedy_descend(dev, q, qn, dev.max_level, lv + 1)
+        seeds = ep[:, None]
+    else:
+        seeds = jnp.broadcast_to(
+            dev.entry_slots[None, :], (wave.shape[0], dev.entry_slots.shape[0])
+        )
+
+    for level in range(min(lv, dev.max_level), -1, -1):
+        cap = dev.m0 if level == 0 else dev.upper_links.shape[-1]
+        dev, selected = wave_ops.wave_insert_level(
+            dev,
+            wave_j,
+            seeds,
+            node_ok,
+            level=level,
+            ef=opts.ef_construction,
+            cap=cap,
+            alpha=opts.alpha,
+            flat=use_flat,
+        )
+        seeds = selected
+        stats.incr_link_count(2 * int(wave.shape[0]) * cap)  # upper bound
+    return dev
+
+
+def _repair_deletions(
+    g: HostGraph,
+    dev: DeviceGraph,
+    deleted_set: set[int],
+    opts: BuildOptions,
+    stats: BuildStats,
+) -> DeviceGraph:
+    """Find rows referencing deleted slots (host scan of synced links) and
+    repair them in fixed-size device blocks."""
+    hnsw.from_device(g, dev)
+    del_arr = np.zeros(g.capacity, dtype=bool)
+    del_arr[list(deleted_set)] = True
+    deleted_j = jnp.asarray(del_arr)
+
+    for level in range(g.max_level + 1):
+        if level == 0:
+            table = g.links0
+            owners = np.arange(g.capacity)
+        else:
+            table = g.upper_links[level - 1]
+            owners = np.full(table.shape[0], -1, dtype=np.int64)
+            rows = g.slot_rows[level - 1]
+            owners_slots = np.nonzero(rows >= 0)[0]
+            owners[rows[owners_slots]] = owners_slots
+        has_del = (table >= 0) & del_arr[np.maximum(table, 0)]
+        affected = np.nonzero(has_del.any(axis=1))[0]
+        if level == 0:
+            affected_owners = affected
+        else:
+            affected_owners = owners[affected]
+        # owners that are themselves deleted are skipped (hnsw.rs:373-375)
+        affected_owners = np.asarray(
+            [s for s in affected_owners if s >= 0 and s not in deleted_set],
+            dtype=np.int32,
+        )
+        cap = g.m0 if level == 0 else g.m
+        for start in range(0, len(affected_owners), REPAIR_BLOCK):
+            if opts.cancel():
+                raise BuildCancelled()
+            block = np.full(REPAIR_BLOCK, -1, dtype=np.int32)
+            chunk = affected_owners[start : start + REPAIR_BLOCK]
+            block[: len(chunk)] = chunk
+            dev = wave_ops.repair_deleted_rows(
+                dev, jnp.asarray(block), deleted_j, level, cap, opts.alpha
+            )
+    return dev

@@ -1,0 +1,305 @@
+"""Device-side jitted ops for wave-parallel graph construction.
+
+The TPU replacement of the reference's rayon-parallel insertion
+(hnsw.rs:168-185) per SURVEY §7: a *wave* of W items is inserted at once —
+one batched candidate beam search, one batched α-prune, one forward-row
+scatter, and one deterministic reverse-edge merge (sorted-COO segments
+replace the lock-free papaya map's racy updates).
+
+Determinism: within a wave, reverse contributions are sorted by
+(destination, distance) and merged with a single scatter per destination —
+same inputs always produce the same graph, unlike the reference whose
+snapshot tests must pin rayon to one thread (src/tests/mod.rs:105).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.hnsw import DeviceGraph
+from ..ops import beam, distances, prune, topk
+from ..ops.topk import INF, NO_ID
+
+
+class WaveLevelResult(NamedTuple):
+    graph: DeviceGraph
+    selected: jax.Array  # [W, cap] pruned neighbors (next level's seeds)
+
+
+def _scatter_rows(
+    table: jax.Array,  # [R, cap]
+    rows: jax.Array,  # [U] row indices (NO_ID → dropped)
+    vals: jax.Array,  # [U, cap]
+) -> jax.Array:
+    safe = jnp.where(rows >= 0, rows, table.shape[0])  # OOB → dropped
+    return table.at[safe].set(vals, mode="drop")
+
+
+def _set_level_rows(
+    g: DeviceGraph, level: int, slots: jax.Array, ids: jax.Array, d: jax.Array
+) -> DeviceGraph:
+    """Overwrite link rows of ``slots`` at ``level`` (slots may be NO_ID)."""
+    if level == 0:
+        links0 = _scatter_rows(g.links0, slots, ids)
+        dists0 = _scatter_rows(g.dists0, slots, d)
+        return _replace(g, links0=links0, dists0=dists0)
+    rows = jnp.where(
+        slots >= 0, g.slot_rows[level - 1][jnp.maximum(slots, 0)], NO_ID
+    )
+    ul = g.upper_links.at[level - 1].set(
+        _scatter_rows(g.upper_links[level - 1], rows, ids)
+    )
+    ud = g.upper_dists.at[level - 1].set(
+        _scatter_rows(g.upper_dists[level - 1], rows, d)
+    )
+    return _replace(g, upper_links=ul, upper_dists=ud)
+
+
+def _level_rows(g: DeviceGraph, level: int, slots: jax.Array):
+    """(ids, dists) link rows of ``slots`` at ``level``."""
+    ids = beam.links_at(g, level, slots)
+    safe = jnp.maximum(slots, 0)
+    if level == 0:
+        d = g.dists0[safe]
+    else:
+        rows = g.slot_rows[level - 1][safe]
+        d = g.upper_dists[level - 1][jnp.maximum(rows, 0)]
+        d = jnp.where((rows >= 0)[:, None], d, INF)
+    d = jnp.where(ids != NO_ID, d, INF)
+    return ids, d
+
+
+def _replace(g: DeviceGraph, **kw) -> DeviceGraph:
+    fields = dict(
+        vectors=g.vectors,
+        norms=g.norms,
+        links0=g.links0,
+        dists0=g.dists0,
+        upper_links=g.upper_links,
+        upper_dists=g.upper_dists,
+        slot_rows=g.slot_rows,
+        entry_slots=g.entry_slots,
+        valid=g.valid,
+        metric_name=g.metric_name,
+        max_level=g.max_level,
+    )
+    fields.update(kw)
+    return DeviceGraph(**fields)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("level", "ef", "cap", "alpha", "inc_cap", "flat"),
+    donate_argnames=("g",),
+)
+def wave_insert_level(
+    g: DeviceGraph,
+    wave_slots: jax.Array,  # [W] (-1 padded)
+    seeds: jax.Array,  # [W, S] entry slots for this level's walk
+    node_ok: jax.Array,  # [N_pad] exists-and-not-deleted (beam traversal)
+    level: int,
+    ef: int,
+    cap: int,
+    alpha: float,
+    inc_cap: int = 16,
+    flat: bool = False,
+) -> WaveLevelResult:
+    """Insert one wave at one level (the batched hnsw.rs:312-327 body).
+
+    1. candidate search (beam at ``level``, or exact scan when the graph is
+       still tiny — ``flat=True``),
+    2. α-prune → forward row scatter,
+    3. deterministic reverse-edge merge with overflow α-prune.
+    """
+    metric = g.metric
+    W = wave_slots.shape[0]
+    wave_ok = wave_slots >= 0
+    q = g.vectors[jnp.maximum(wave_slots, 0)]
+    qn = g.norms[jnp.maximum(wave_slots, 0)]
+
+    if flat:
+        d_mat = distances.matrix_distances(metric, q, qn, g.vectors, g.norms)
+        member = g.valid if level == 0 else (g.valid & (g.slot_rows[level - 1] >= 0))
+        d_mat = jnp.where(member[None, :], d_mat, INF)
+        neg, idx = jax.lax.top_k(-d_mat, min(ef, g.capacity))
+        cand_d, cand_ids = -neg, jnp.where(jnp.isfinite(-neg), idx, NO_ID)
+        if cand_ids.shape[1] < ef:
+            pad = ef - cand_ids.shape[1]
+            cand_ids = jnp.pad(cand_ids, ((0, 0), (0, pad)), constant_values=NO_ID)
+            cand_d = jnp.pad(cand_d, ((0, 0), (0, pad)), constant_values=INF)
+    else:
+        res = beam.beam_search(g, q, qn, seeds, ef, node_ok=node_ok, level=level)
+        cand_ids, cand_d = res.slots, res.dists
+
+    # exclude self (re-inserted entry points find themselves at distance 0 —
+    # reference add_link's p == q guard, hnsw.rs:530-532)
+    self_hit = cand_ids == wave_slots[:, None]
+    cand_ids = jnp.where(self_hit, NO_ID, cand_ids)
+    cand_d = jnp.where(self_hit, INF, cand_d)
+    cand_ids = jnp.where(wave_ok[:, None], cand_ids, NO_ID)
+    cand_d = jnp.where(wave_ok[:, None], cand_d, INF)
+
+    sel_ids, sel_d = prune.robust_prune(
+        metric, g.vectors, g.norms, cand_ids, cand_d, cap, alpha
+    )
+
+    # ---- forward rows ----
+    g = _set_level_rows(g, level, wave_slots, sel_ids, sel_d)
+
+    # ---- reverse edges: sorted-COO segment merge ----
+    dst = sel_ids.reshape(-1)  # [W*cap]
+    src = jnp.repeat(wave_slots, cap)
+    rd = sel_d.reshape(-1)
+    ok = (dst != NO_ID) & (src != NO_ID)
+    # sort by (dst, distance); invalid dsts sort last
+    sort_dst = jnp.where(ok, dst, jnp.int32(2**30))
+    sort_dst, rd_s, src_s, dst_s = jax.lax.sort(
+        (sort_dst, rd, src, dst), dimension=0, num_keys=2
+    )
+    E = dst.shape[0]
+    idx = jnp.arange(E, dtype=jnp.int32)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), sort_dst[1:] != sort_dst[:-1]]
+    )
+    seg_id = jnp.cumsum(first.astype(jnp.int32)) - 1  # [E]
+    seg_start = jax.lax.cummax(jnp.where(first, idx, 0))
+    rank = idx - seg_start
+
+    valid_e = dst_s != NO_ID
+    u_dst = jnp.full((E,), NO_ID, dtype=jnp.int32)
+    u_dst = u_dst.at[jnp.where(first & valid_e, seg_id, E)].set(dst_s, mode="drop")
+
+    inc_ids = jnp.full((E, inc_cap), NO_ID, dtype=jnp.int32)
+    inc_d = jnp.full((E, inc_cap), INF)
+    keep = valid_e & (rank < inc_cap)
+    sc_r = jnp.where(keep, seg_id, E)
+    sc_c = jnp.where(keep, rank, 0)
+    inc_ids = inc_ids.at[sc_r, sc_c].set(src_s, mode="drop")
+    inc_d = inc_d.at[sc_r, sc_c].set(rd_s, mode="drop")
+
+    row_ids, row_d = _level_rows(g, level, u_dst)
+    merged_ids, merged_d = prune.merge_link_rows(
+        metric, g.vectors, g.norms, row_ids, row_d, inc_ids, inc_d, cap, alpha
+    )
+    # untouched (padding) rows scatter nowhere
+    g = _set_level_rows(g, level, u_dst, merged_ids, merged_d)
+
+    return WaveLevelResult(g, sel_ids)
+
+
+@partial(jax.jit, donate_argnames=("g",))
+def activate_wave(g: DeviceGraph, wave_slots: jax.Array) -> DeviceGraph:
+    """Mark a wave's slots searchable for subsequent waves."""
+    safe = jnp.where(wave_slots >= 0, wave_slots, g.capacity)
+    return _replace(g, valid=g.valid.at[safe].set(True, mode="drop"))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("level", "cap", "alpha", "ext_cap"),
+    donate_argnames=("g",),
+)
+def repair_deleted_rows(
+    g: DeviceGraph,
+    row_slots: jax.Array,  # [R] owners with >=1 deleted neighbor (-1 pad)
+    deleted: jax.Array,  # [N_pad] bool
+    level: int,
+    cap: int,
+    alpha: float,
+    ext_cap: int = 64,
+) -> DeviceGraph:
+    """FreshDiskANN Algorithm-4 gap fill (reference fill_gaps_from_deleted,
+    hnsw.rs:334-415), batched.
+
+    For each affected row: drop deleted neighbors, splice in the deleted
+    neighbors' own neighbors (capped at ``ext_cap`` nearest-by-their-row
+    entries — rows are distance-sorted, a documented deviation from the
+    reference's unbounded splice), α-prune on overflow.
+    """
+    metric = g.metric
+    owners_ok = row_slots >= 0
+    row_ids, row_d = _level_rows(g, level, row_slots)
+
+    is_del = deleted[jnp.maximum(row_ids, 0)] & (row_ids != NO_ID)
+    base_ids = jnp.where(is_del, NO_ID, row_ids)
+    base_d = jnp.where(is_del, INF, row_d)
+
+    # neighbors-of-deleted: gather each deleted neighbor's row
+    del_nbs = jnp.where(is_del, row_ids, NO_ID)  # [R, cap]
+    ext = beam.links_at(g, level, del_nbs.reshape(-1)).reshape(
+        row_slots.shape[0], -1
+    )  # [R, cap*cap]
+    ext = jnp.where(deleted[jnp.maximum(ext, 0)], NO_ID, ext)
+    ext = jnp.where(ext == row_slots[:, None], NO_ID, ext)  # no self-links
+    # dedup against base and within ext, keep first ext_cap
+    ext = jnp.where(topk.contains(ext, base_ids), NO_ID, ext)
+    ext = jnp.where(topk.unique_mask(ext), ext, NO_ID)
+    order = jnp.argsort(jnp.where(ext == NO_ID, 1, 0), axis=-1, stable=True)
+    ext = jnp.take_along_axis(ext, order, axis=-1)[:, :ext_cap]
+
+    ovec = g.vectors[jnp.maximum(row_slots, 0)]
+    onrm = g.norms[jnp.maximum(row_slots, 0)]
+    evec = g.vectors[jnp.maximum(ext, 0)]
+    enrm = g.norms[jnp.maximum(ext, 0)]
+    ext_d = distances.gathered_distances(metric, ovec, onrm, evec, enrm)
+    ext_d = jnp.where(ext != NO_ID, ext_d, INF)
+
+    merged_ids, merged_d = prune.merge_link_rows(
+        metric, g.vectors, g.norms, base_ids, base_d, ext, ext_d, cap, alpha
+    )
+    out_rows = jnp.where(owners_ok, row_slots, NO_ID)
+    return _set_level_rows(g, level, out_rows, merged_ids, merged_d)
+
+
+@partial(jax.jit, static_argnames=("level",), donate_argnames=("g",))
+def _fill_dists_block(
+    g: DeviceGraph, slots: jax.Array, level: int
+) -> DeviceGraph:
+    metric = g.metric
+    ids, _ = _level_rows(g, level, slots)
+    ovec = g.vectors[jnp.maximum(slots, 0)]
+    onrm = g.norms[jnp.maximum(slots, 0)]
+    nvec = g.vectors[jnp.maximum(ids, 0)]
+    nnrm = g.norms[jnp.maximum(ids, 0)]
+    d = distances.gathered_distances(metric, ovec, onrm, nvec, nnrm)
+    d = jnp.where(ids != NO_ID, d, INF)
+    # keep rows distance-sorted (builders rely on ascending rows)
+    d, ids = topk.sort_by_dist(d, ids)
+    return _set_level_rows(g, level, jnp.where(slots >= 0, slots, NO_ID), ids, d)
+
+
+def fill_link_dists(g: DeviceGraph, host, block: int = 4096) -> DeviceGraph:
+    """Recompute per-link distances for a graph loaded from the store.
+
+    Persisted rows carry ids only (reference stores RoaringBitmaps,
+    node.rs:133-174); builders need the ScoredLink distances back. One
+    gathered-distance pass per row block per level.
+    """
+    for level in range(host.max_level + 1):
+        owners = (
+            np.nonzero(host.levels >= 0)[0]
+            if level == 0
+            else np.nonzero(host.slot_rows[level - 1] >= 0)[0]
+        )
+        for start in range(0, len(owners), block):
+            chunk = np.full(block, -1, dtype=np.int32)
+            sel = owners[start : start + block]
+            chunk[: len(sel)] = sel
+            g = _fill_dists_block(g, jnp.asarray(chunk), level)
+    return g
+
+
+@partial(jax.jit, donate_argnames=("g",))
+def clear_slots(g: DeviceGraph, slots: jax.Array) -> DeviceGraph:
+    """Invalidate deleted slots and wipe their layer-0 rows (upper rows are
+    wiped host-side where compact row reuse is managed)."""
+    safe = jnp.where(slots >= 0, slots, g.capacity)
+    valid = g.valid.at[safe].set(False, mode="drop")
+    links0 = g.links0.at[safe].set(NO_ID, mode="drop")
+    dists0 = g.dists0.at[safe].set(INF, mode="drop")
+    return _replace(g, valid=valid, links0=links0, dists0=dists0)

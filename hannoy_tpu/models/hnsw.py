@@ -229,6 +229,69 @@ class HostGraph:
             self.upper_dists[level - 1][row, :k] = link_dists[:k]
 
     # -- store I/O ---------------------------------------------------------
+    @classmethod
+    def load(
+        cls,
+        db: Database,
+        txn: RoTxn,
+        index: int,
+        metric: distances.Metric,
+        metadata,
+    ) -> "HostGraph":
+        """Reconstruct the graph mirror from the store (the Reader::open /
+        Writer-incremental load path).
+
+        Persisted link rows carry only neighbor ids (like the reference's
+        RoaringBitmaps); cached link distances are restored lazily on
+        device via ``wave_ops.fill_link_dists``.
+        """
+        import struct as _struct
+
+        from ..store.schema import Key as _Key
+        from ..store.schema import Prefix as _Prefix
+        from ..store.schema import decode_item as _decode_item
+        from ..store.schema import decode_links as _decode_links
+
+        n = len(metadata.items)
+        g = cls.empty(
+            metric,
+            metadata.dimensions,
+            metadata.m,
+            metadata.m0,
+            capacity=slot_capacity(max(n, 1)),
+        )
+        for key, val in db.prefix_iter(txn, _Prefix.item(index)):
+            item = _Key.from_bytes(key).item
+            header, vecb = _decode_item(val)
+            s = g.alloc_slot(item)
+            g.vectors[s] = codecs.vector_from_bytes(vecb, metric.codec)
+            g.norms[s] = _struct.unpack("<f", header)[0]
+            g.levels[s] = 0
+        g.max_level = metadata.max_level
+        g.ensure_layers(g.max_level)
+        pending: list[tuple[int, int, np.ndarray]] = []
+        for key, val in db.prefix_iter(txn, _Prefix.links(index)):
+            k = _Key.from_bytes(key)
+            slot = g.id_to_slot.get(k.item)
+            if slot is None:
+                continue  # dangling row (should not happen post-build)
+            g.levels[slot] = max(g.levels[slot], k.layer)
+            ids = _decode_links(val).to_array()
+            link_slots = np.asarray(
+                [g.id_to_slot[i] for i in ids.tolist() if i in g.id_to_slot],
+                dtype=np.int32,
+            )
+            pending.append((slot, k.layer, link_slots))
+        for slot, layer, link_slots in pending:
+            # NaN marks "distance unknown, recompute on device"
+            g.set_links(
+                slot, layer, link_slots, np.full(len(link_slots), np.nan, dtype=np.float32)
+            )
+        g.entry_slots = [
+            g.id_to_slot[e] for e in metadata.entry_points if e in g.id_to_slot
+        ]
+        return g
+
     def flush_links(self, db: Database, wtxn: RwTxn, index: int) -> None:
         """Persist every node's links to the store (reference's
         single-threaded flush, hnsw.rs:192-213: layers → LMDB puts).
@@ -372,8 +435,8 @@ def to_device(g: HostGraph, max_entry_points: int = 32) -> DeviceGraph:
 def from_device(g: HostGraph, dev: DeviceGraph) -> None:
     """Download mutated link arrays from HBM back into the host mirror
     (builders donate arrays to device waves and sync back before flush)."""
-    g.links0 = np.asarray(dev.links0)
-    g.dists0 = np.asarray(dev.dists0)
+    g.links0 = np.array(dev.links0)  # copy: host code mutates these
+    g.dists0 = np.array(dev.dists0)
     up = np.asarray(dev.upper_links)
     ud = np.asarray(dev.upper_dists)
     for l in range(up.shape[0]):

@@ -46,6 +46,24 @@ def _gather_rows(vectors: jax.Array, norms: jax.Array, idx: jax.Array):
     return vectors[safe], norms[safe]
 
 
+def links_at(g: DeviceGraph, level: int, slots: jax.Array) -> jax.Array:
+    """Neighbor slots of ``slots [B]`` at ``level`` → [B, M or M0].
+
+    Replaces the reference's per-node LMDB links lookup
+    (``get_links``/``FrozenReader::links``) with an HBM gather. ``level``
+    is static: layer 0 reads the full-width table, upper layers go through
+    the slot→row indirection into the compact tables.
+    """
+    safe = jnp.maximum(slots, 0)
+    if level == 0:
+        nbs = g.links0[safe]
+    else:
+        rows = g.slot_rows[level - 1][safe]
+        nbs = g.upper_links[level - 1][jnp.maximum(rows, 0)]
+        nbs = jnp.where((rows >= 0)[:, None], nbs, NO_ID)
+    return jnp.where((slots >= 0)[:, None], nbs, NO_ID)
+
+
 def seed_distances(
     metric: distances.Metric,
     vectors: jax.Array,
@@ -149,19 +167,25 @@ def beam_search(
     start: jax.Array,  # [B, S] seed slots (-1 padded)
     ef: int,
     max_iters: Optional[int] = None,
-    valid_override: Optional[jax.Array] = None,
+    node_ok: Optional[jax.Array] = None,
+    level: int = 0,
 ) -> BeamResult:
-    """Unfiltered layer-0 beam search (hnsw.rs walk_layer semantics).
+    """Unfiltered beam search at ``level`` (hnsw.rs walk_layer semantics;
+    builders run it per layer, searches at layer 0).
 
-    ``valid_override``: optional [N_pad] bool restricting which slots may
-    enter the pool (builders pass the not-yet-inserted mask).
+    ``node_ok``: optional [N_pad] bool replacing ``g.valid`` as the
+    traversable-slot mask. Builders pass exists-and-not-deleted so entry
+    points scheduled for (re)insertion stay seedable before their wave —
+    the reference reads any item's vector from LMDB during the build
+    (hnsw.rs:474-481) and only deleted items vanish (hnsw.rs:498-501).
     """
     metric = g.metric
     if max_iters is None:
         max_iters = 2 * ef + 16
     B = q.shape[0]
 
-    node_ok = g.valid if valid_override is None else (g.valid & valid_override)
+    if node_ok is None:
+        node_ok = g.valid
 
     # Seed pool
     seed_ok = (start >= 0) & node_ok[jnp.maximum(start, 0)]
@@ -193,7 +217,7 @@ def beam_search(
         pool_exp = jnp.maximum(pool_exp, mark)
 
         cur = jnp.take_along_axis(pool_id, best_pos[:, None], axis=-1)[:, 0]
-        nbs = g.links0[jnp.maximum(cur, 0)]  # [B, M0]
+        nbs = links_at(g, level, cur)  # [B, M0 or M]
         ok = (
             (nbs >= 0)
             & active[:, None]
@@ -231,7 +255,7 @@ def beam_search_filtered(
     ef: int,
     candidate_mask: jax.Array,  # [N_pad] bool — allowed result slots
     max_iters: Optional[int] = None,
-    valid_override: Optional[jax.Array] = None,
+    node_ok: Optional[jax.Array] = None,
 ) -> BeamResult:
     """Candidate-filtered beam search (reader.rs:322-365 semantics).
 
@@ -243,7 +267,8 @@ def beam_search_filtered(
     if max_iters is None:
         max_iters = 2 * ef + 16
     B = q.shape[0]
-    node_ok = g.valid if valid_override is None else (g.valid & valid_override)
+    if node_ok is None:
+        node_ok = g.valid
     cand_ok = node_ok & candidate_mask
 
     seed_ok = (start >= 0) & node_ok[jnp.maximum(start, 0)]

@@ -1,0 +1,18 @@
+from .mesh import SHARD_AXIS, make_mesh, replicated, shard_leading
+from .sharded import (
+    ShardedIndex,
+    build_sharded,
+    partition_round_robin,
+    sharded_insert_wave,
+)
+
+__all__ = [
+    "SHARD_AXIS",
+    "make_mesh",
+    "replicated",
+    "shard_leading",
+    "ShardedIndex",
+    "build_sharded",
+    "partition_round_robin",
+    "sharded_insert_wave",
+]

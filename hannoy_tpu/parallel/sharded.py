@@ -1,0 +1,291 @@
+"""Sharded index: one sub-HNSW per device, SPMD search + build.
+
+Design (SURVEY §5 long-context / §2.2 distributed-backend rows): items are
+partitioned round-robin across S shards; each shard is an *independent*
+sub-HNSW living in its device's HBM slice. This is the standard
+distributed-ANN decomposition — identical programs per shard (SPMD), no
+cross-shard edges, so construction is embarrassingly parallel and a query
+is: replicate → per-shard beam search → ``all_gather`` the per-shard top-k
+→ global merge. Collectives ride ICI; the only cross-chip traffic is the
+k results per shard, not vectors.
+
+Everything runs under one ``jax.shard_map`` over a ``Mesh`` so XLA sees a
+single compiled SPMD program (replacing what NCCL/MPI would be in a
+CUDA port — SURVEY §2.2 explicitly calls this the new first-class
+component).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.hnsw import INVALID_ID, DeviceGraph, HostGraph, to_device
+from ..ops import beam, codecs, distances
+from ..ops.topk import INF, NO_ID
+from .mesh import SHARD_AXIS, make_mesh
+
+
+class ShardedIndex:
+    """S per-shard graphs stacked on the leading axis and laid out over a
+    mesh. Static metadata (metric, max_level, m0) must match across shards
+    — the host builder pads all shards to identical shapes."""
+
+    def __init__(self, mesh: Mesh, stacked: dict, ids: jax.Array, metric_name: str, max_level: int):
+        self.mesh = mesh
+        self.arrays = stacked  # dict of [S, ...] jnp arrays (sharded)
+        self.ids = ids  # [S, N_pad] uint32 global item ids per slot
+        self.metric_name = metric_name
+        self.max_level = max_level
+
+    @property
+    def n_shards(self) -> int:
+        return self.ids.shape[0]
+
+    @classmethod
+    def from_host_graphs(cls, graphs: list[HostGraph], mesh: Optional[Mesh] = None) -> "ShardedIndex":
+        """Stack per-shard host graphs (equal capacity/m0/levels required;
+        the sharded builder guarantees this) and lay them over the mesh."""
+        mesh = mesh or make_mesh(len(graphs))
+        max_level = max(g.max_level for g in graphs)
+        devs = [to_device(g) for g in graphs]
+        cap_u = max(d.upper_links.shape[1] for d in devs) if max_level else 1
+        m = graphs[0].m
+
+        def stack(field, pad_upper=False):
+            arrs = []
+            for d in devs:
+                a = np.asarray(getattr(d, field))
+                if pad_upper:
+                    full = np.full(
+                        (max_level,) + (cap_u,) + a.shape[2:],
+                        -1 if a.dtype == np.int32 else np.inf,
+                        dtype=a.dtype,
+                    )
+                    full[: a.shape[0], : a.shape[1]] = a[:max_level]
+                    a = full
+                arrs.append(a)
+            return np.stack(arrs)
+
+        def stack_sr():
+            arrs = []
+            for d in devs:
+                a = np.asarray(d.slot_rows)
+                full = np.full((max_level,) + a.shape[1:], -1, dtype=a.dtype)
+                full[: a.shape[0]] = a[:max_level]
+                arrs.append(a if a.shape[0] == max_level else full)
+            return np.stack(arrs)
+
+        e_pad = max(d.entry_slots.shape[0] for d in devs)
+        eps = np.full((len(devs), e_pad), -1, dtype=np.int32)
+        for i, d in enumerate(devs):
+            e = np.asarray(d.entry_slots)
+            eps[i, : e.shape[0]] = e
+
+        shard = NamedSharding(mesh, P(SHARD_AXIS))
+        stacked = {
+            "vectors": stack("vectors"),
+            "norms": stack("norms"),
+            "links0": stack("links0"),
+            "dists0": stack("dists0"),
+            "upper_links": stack("upper_links", pad_upper=True),
+            "upper_dists": stack("upper_dists", pad_upper=True),
+            "slot_rows": stack_sr(),
+            "entry_slots": eps,
+            "valid": stack("valid"),
+        }
+        stacked = {k: jax.device_put(jnp.asarray(v), shard) for k, v in stacked.items()}
+        ids = jax.device_put(jnp.asarray(np.stack([g.ids for g in graphs])), shard)
+        return cls(mesh, stacked, ids, graphs[0].metric.name, max_level)
+
+    def search(self, queries: np.ndarray, k: int, ef: int) -> tuple[np.ndarray, np.ndarray]:
+        """Fan-out search → (global item ids [B, k], dists [B, k])."""
+        metric = distances.by_name(self.metric_name)
+        packed = codecs.pack(np.atleast_2d(np.asarray(queries, np.float32)), metric.codec)
+        norms = distances.np_norms(metric, packed)
+        q = jnp.asarray(packed)
+        qn = jnp.asarray(norms)
+        ids, d = _sharded_search(
+            self.mesh, self.metric_name, self.max_level, self.arrays, self.ids, q, qn, k=k, ef=ef
+        )
+        return np.asarray(ids), np.asarray(d)
+
+
+@partial(jax.jit, static_argnames=("mesh", "metric_name", "max_level", "k", "ef"))
+def _sharded_search(
+    mesh: Mesh,
+    metric_name: str,
+    max_level: int,
+    arrays: dict,
+    ids: jax.Array,
+    q: jax.Array,
+    qn: jax.Array,
+    k: int,
+    ef: int,
+):
+    spec_arrays = {name: P(SHARD_AXIS) for name in arrays}
+
+    def per_shard(arrays, ids_local, q, qn):
+        g = _local_graph(arrays, metric_name, max_level)
+        res = beam.hnsw_search(g, q, qn, ef)
+        top_d = res.dists[:, :k]
+        top_slots = res.slots[:, :k]
+        gids = ids_local[0][jnp.maximum(top_slots, 0)]
+        gids = jnp.where(top_slots >= 0, gids, jnp.uint32(INVALID_ID))
+        top_d = jnp.where(top_slots >= 0, top_d, INF)
+        # gather every shard's top-k and merge — replicated output
+        all_d = jax.lax.all_gather(top_d, SHARD_AXIS, axis=0)  # [S, B, k]
+        all_ids = jax.lax.all_gather(gids, SHARD_AXIS, axis=0)
+        S = all_d.shape[0]
+        flat_d = jnp.swapaxes(all_d, 0, 1).reshape(q.shape[0], S * k)
+        flat_i = jnp.swapaxes(all_ids, 0, 1).reshape(q.shape[0], S * k)
+        neg, pos = jax.lax.top_k(-flat_d, k)
+        merged_i = jnp.take_along_axis(flat_i, pos, axis=-1)
+        return merged_i[None], (-neg)[None]
+
+    out_ids, out_d = _shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(spec_arrays, P(SHARD_AXIS), P(), P()),
+        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
+    )(arrays, ids, q, qn)
+    # every shard produced the same merged result; take shard 0's copy
+    return out_ids[0], out_d[0]
+
+
+def _local_graph(arrays: dict, metric_name: str, max_level: int) -> DeviceGraph:
+    """Rebuild a (local, squeezed) DeviceGraph inside shard_map."""
+    return DeviceGraph(
+        vectors=arrays["vectors"][0],
+        norms=arrays["norms"][0],
+        links0=arrays["links0"][0],
+        dists0=arrays["dists0"][0],
+        upper_links=arrays["upper_links"][0],
+        upper_dists=arrays["upper_dists"][0],
+        slot_rows=arrays["slot_rows"][0],
+        entry_slots=arrays["entry_slots"][0],
+        valid=arrays["valid"][0],
+        metric_name=metric_name,
+        max_level=max_level,
+    )
+
+
+# --------------------------------------------------------------------------
+# Sharded construction
+# --------------------------------------------------------------------------
+
+
+def partition_round_robin(n: int, n_shards: int) -> list[np.ndarray]:
+    """Deterministic round-robin item partition (the slot-sharding scheme
+    named in BASELINE.json's north star)."""
+    return [np.arange(s, n, n_shards) for s in range(n_shards)]
+
+
+def build_sharded(
+    metric: distances.Metric,
+    data: np.ndarray,  # [N, D] float32
+    item_ids: np.ndarray,
+    m: int,
+    m0: int,
+    n_shards: int,
+    opts=None,
+    mesh: Optional[Mesh] = None,
+) -> ShardedIndex:
+    """Build S independent per-shard sub-HNSWs and lay them over the mesh.
+
+    Construction is embarrassingly parallel across shards; each shard runs
+    the wave builder over its slice. All shards are padded to identical
+    array shapes so one SPMD program serves every device.
+    """
+    from ..build import builder as _builder
+    from ..models.hnsw import slot_capacity
+
+    opts = opts or _builder.BuildOptions()
+    n = data.shape[0]
+    parts = partition_round_robin(n, n_shards)
+    cap = slot_capacity(max(len(p) for p in parts))
+    graphs: list[HostGraph] = []
+    for part in parts:
+        g = HostGraph.empty(metric, data.shape[1], m, m0, capacity=cap)
+        packed = codecs.pack(data[part], metric.codec)
+        nrm = distances.np_norms(metric, packed)
+        slots = np.empty(len(part), dtype=np.int64)
+        for i, row in enumerate(part):
+            s = g.alloc_slot(int(item_ids[row]))
+            slots[i] = s
+            g.vectors[s] = packed[i]
+            g.norms[s] = nrm[i]
+        _builder.build_graph(g, slots, np.empty(0, dtype=np.int64), opts)
+        graphs.append(g)
+    return ShardedIndex.from_host_graphs(graphs, mesh=mesh)
+
+
+def sharded_insert_wave(
+    index: ShardedIndex,
+    wave_slots: np.ndarray,  # [S, W] per-shard wave (-1 padded)
+    ef: int,
+    cap: int,
+    alpha: float = 1.0,
+) -> ShardedIndex:
+    """One SPMD construction wave across every shard simultaneously —
+    the multi-chip *training step* equivalent: each device searches its
+    local sub-graph, prunes, and scatters links, with no cross-chip
+    traffic (sub-graphs are independent)."""
+    from ..build import wave_ops
+
+    metric_name, max_level = index.metric_name, index.max_level
+    mesh = index.mesh
+    spec_arrays = {name: P(SHARD_AXIS) for name in index.arrays}
+
+    def per_shard(arrays, waves):
+        g = _local_graph(arrays, metric_name, max_level)
+        w = waves[0]
+        seeds = jnp.broadcast_to(g.entry_slots[None, :], (w.shape[0], g.entry_slots.shape[0]))
+        node_ok = g.valid | _slots_mask(g.capacity, w)
+        res = wave_ops.wave_insert_level(
+            g, w, seeds, node_ok, level=0, ef=ef, cap=cap, alpha=alpha
+        )
+        g2 = wave_ops.activate_wave(res.graph, w)
+        return {
+            "vectors": g2.vectors[None],
+            "norms": g2.norms[None],
+            "links0": g2.links0[None],
+            "dists0": g2.dists0[None],
+            "upper_links": g2.upper_links[None],
+            "upper_dists": g2.upper_dists[None],
+            "slot_rows": g2.slot_rows[None],
+            "entry_slots": g2.entry_slots[None],
+            "valid": g2.valid[None],
+        }
+
+    new_arrays = jax.jit(
+        _shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(spec_arrays, P(SHARD_AXIS)),
+            out_specs={name: P(SHARD_AXIS) for name in index.arrays},
+        )
+    )(index.arrays, jnp.asarray(wave_slots))
+    return ShardedIndex(mesh, new_arrays, index.ids, metric_name, max_level)
+
+
+def _slots_mask(capacity: int, slots: jax.Array) -> jax.Array:
+    mask = jnp.zeros((capacity,), dtype=bool)
+    safe = jnp.where(slots >= 0, slots, capacity)
+    return mask.at[safe].set(True, mode="drop")
+
+
+def _get_shard_map():
+    if hasattr(jax, "shard_map"):
+        return jax.shard_map
+    from jax.experimental.shard_map import shard_map as _sm  # jax < 0.5
+
+    return _sm
+
+
+_shard_map = _get_shard_map()

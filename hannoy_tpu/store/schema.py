@@ -159,7 +159,9 @@ class Metadata:
 
     Fields mirror the reference ``Metadata``: dimensions, items bitmap,
     distance name (string identity used to check the reader's metric,
-    ``src/reader.rs:400-405``), entry points, max level.
+    ``src/reader.rs:400-405``), entry points, max level — plus the build's
+    (m, m0) link capacities, which the reference bakes in as const generics
+    (writer.rs:215) but a runtime-shaped engine must persist.
     """
 
     dimensions: int
@@ -167,13 +169,15 @@ class Metadata:
     distance: str
     entry_points: list[int]
     max_level: int
+    m: int = 16
+    m0: int = 32
 
     def to_bytes(self) -> bytes:
         dist_b = self.distance.encode("utf-8")
         eps = np.asarray(self.entry_points, dtype=">u4")
         items_b = self.items.to_bytes()
         return (
-            struct.pack(">IBH", self.dimensions, self.max_level, len(dist_b))
+            struct.pack(">IBBBH", self.dimensions, self.max_level, self.m, self.m0, len(dist_b))
             + dist_b
             + struct.pack(">I", eps.size)
             + eps.tobytes()
@@ -182,8 +186,8 @@ class Metadata:
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "Metadata":
-        dims, max_level, dlen = struct.unpack_from(">IBH", data, 0)
-        off = 7
+        dims, max_level, m, m0, dlen = struct.unpack_from(">IBBBH", data, 0)
+        off = 9
         distance = data[off : off + dlen].decode("utf-8")
         off += dlen
         (n_eps,) = struct.unpack_from(">I", data, off)
@@ -197,6 +201,8 @@ class Metadata:
             distance=distance,
             entry_points=[int(e) for e in eps],
             max_level=max_level,
+            m=m,
+            m0=m0,
         )
 
 

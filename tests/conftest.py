@@ -5,16 +5,20 @@ exercised without TPU hardware (the driver separately dry-runs the
 multi-chip path; see ``__graft_entry__.py``). This mirrors the reference's
 strategy of pinning rayon for determinism (src/tests/mod.rs:105) — here the
 analogue is a fixed device topology + fixed seeds.
+
+The axon TPU plugin's sitecustomize force-sets ``jax_platforms="axon,cpu"``
+via jax.config at interpreter start, so plain env vars are ignored; we
+override the config directly before any backend initialises.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"  # for subprocesses / cache flavor
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest

@@ -1,0 +1,316 @@
+"""End-to-end API tests — the hannoy user journey on the TPU framework.
+
+Mirrors the reference's tests/test_basic.py (writer context-manager flow,
+search correctness, concurrent readers), plus writer.rs / reader.rs
+behavioural cases: incremental overwrite rewires links, delete-one and
+delete-all, multi-index isolation, NeedBuild, UnmatchingDistance,
+item_vector truncation for packed codecs (issue #78), by_item excluding
+itself, cancellation, filtered search exactness.
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+import hannoy_tpu
+from hannoy_tpu import Database, Metric
+from hannoy_tpu.errors import (
+    InvalidVecDimension,
+    MissingMetadata,
+    NeedBuild,
+    UnmatchingDistance,
+)
+
+
+@pytest.fixture
+def db(tmp_path):
+    return Database(tmp_path / "db", Metric.EUCLIDEAN)
+
+
+def _fill(db, n, d, seed=0, index=0, m=8, start_id=0):
+    rng = np.random.default_rng(seed)
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    with db.writer(d, index=index, m=m, ef=48) as w:
+        w.add_items(range(start_id, start_id + n), data)
+    return data
+
+
+def test_readme_flow(tmp_path):
+    """The README example (reference README.md / tests/test_basic.py)."""
+    db = Database(tmp_path / "x", Metric.COSINE)
+    with db.writer(2, m=4, ef=10) as writer:
+        writer.add_item(0, [1.0, 0.0])
+        writer.add_item(1, [0.0, 1.0])
+    reader = db.reader()
+    got = reader.by_vec([1.0, 0.1], n=1)
+    assert got[0][0] == 0
+
+
+def test_search_correctness(db, rng):
+    data = _fill(db, 300, 16, m=8)
+    reader = db.reader()
+    reader.assert_validity()
+    # query AT an item: nearest must be that item at distance ~0
+    got = reader.by_vec(data[42], n=3, ef_search=64)
+    assert got[0][0] == 42
+    assert got[0][1] == pytest.approx(0.0, abs=1e-5)
+
+
+def test_batched_search_matches_single(db):
+    data = _fill(db, 300, 16)
+    reader = db.reader()
+    batch = reader.by_vecs(data[:8], n=5, ef_search=64)
+    for i in range(8):
+        single = reader.by_vec(data[i], n=5, ef_search=64)
+        assert [x[0] for x in single] == [x[0] for x in batch[i]]
+
+
+def test_reader_before_build_raises(db):
+    with pytest.raises(MissingMetadata):
+        db.reader()
+
+
+def test_need_build_semantics(db):
+    w = db.writer(4, m=4)
+    assert w.need_build()
+    w.add_item(0, [1, 2, 3, 4])
+    w.builder().build()
+    db.commit_rw_txn()
+    assert not w.need_build()
+    w.add_item(1, [0, 0, 0, 1])
+    assert w.need_build()
+    db.commit_rw_txn()
+    with pytest.raises(NeedBuild):
+        db.reader()
+
+
+def test_unmatching_distance(tmp_path):
+    db = Database(tmp_path / "db", Metric.EUCLIDEAN, name="t")
+    _fill(db, 50, 8)
+    db2 = Database(tmp_path / "db", Metric.COSINE, name="t")
+    with pytest.raises(UnmatchingDistance):
+        db2.reader()
+
+
+def test_invalid_dimensions(db):
+    w = db.writer(8, m=4)
+    with pytest.raises(InvalidVecDimension):
+        w.add_item(0, [1.0, 2.0])
+    db.abort_rw_txn()
+
+
+def test_multi_index_isolation(tmp_path):
+    """Indexes share the store but never mix (writer.rs tests:158-228)."""
+    db = Database(tmp_path / "db", Metric.EUCLIDEAN)
+    a = _fill(db, 100, 8, seed=1, index=1)
+    b = _fill(db, 100, 8, seed=2, index=2, start_id=1000)
+    ra, rb = db.reader(1), db.reader(2)
+    assert ra.n_items() == 100 and rb.n_items() == 100
+    assert set(i for i, _ in ra.iter()) == set(range(100))
+    assert set(i for i, _ in rb.iter()) == set(range(1000, 1100))
+    got = rb.by_vec(b[0], n=1)
+    assert got[0][0] == 1000
+
+
+def test_incremental_add_and_overwrite(db, rng):
+    data = _fill(db, 200, 8)
+    # overwrite item 0 with a new vector far away, add 50 new items
+    w = db.writer(8, m=8, ef=48)
+    new0 = np.full(8, 9.0, dtype=np.float32)
+    w.add_item(0, new0)
+    extra = rng.standard_normal((50, 8)).astype(np.float32)
+    w.add_items(range(200, 250), extra)
+    w.builder().build()
+    db.commit_rw_txn()
+    reader = db.reader()
+    reader.assert_validity()
+    assert reader.n_items() == 250
+    assert reader.item_vector(0) == pytest.approx(list(new0))
+    got = reader.by_vec(new0, n=1, ef_search=64)
+    assert got[0][0] == 0  # rewired to the new location
+
+
+def test_delete_items(db):
+    data = _fill(db, 200, 8)
+    w = db.writer(8, m=8, ef=48)
+    for i in range(50):
+        assert w.del_item(i)
+    assert not w.del_item(12345)
+    w.builder().build()
+    db.commit_rw_txn()
+    reader = db.reader()
+    reader.assert_validity()  # includes "no dangling edge to deleted"
+    assert reader.n_items() == 150
+    assert not reader.contains_item(3)
+    got = reader.by_vec(data[7], n=5, ef_search=64)
+    assert all(i >= 50 for i, _ in got)
+
+
+def test_delete_everything_then_search(db):
+    """Empty-index edge cases (reference issues #52/#74)."""
+    _fill(db, 60, 8)
+    w = db.writer(8, m=8)
+    for i in range(60):
+        w.del_item(i)
+    w.builder().build()
+    db.commit_rw_txn()
+    reader = db.reader()
+    assert reader.n_items() == 0
+    assert reader.is_empty()
+    assert reader.by_vec(np.zeros(8, np.float32), n=5) == []
+
+
+def test_delete_all_then_reinsert(db, rng):
+    _fill(db, 60, 8)
+    w = db.writer(8, m=8)
+    for i in range(60):
+        w.del_item(i)
+    data = rng.standard_normal((30, 8)).astype(np.float32)
+    w.add_items(range(100, 130), data)
+    w.builder().build()
+    db.commit_rw_txn()
+    reader = db.reader()
+    reader.assert_validity()
+    assert reader.n_items() == 30
+    got = reader.by_vec(data[3], n=1)
+    assert got[0][0] == 103
+
+
+def test_item_vector_roundtrip_packed(tmp_path):
+    """BQ vectors come back truncated to dims as ±1 (issue #78,
+    src/tests/reader.rs:18-39)."""
+    db = Database(tmp_path / "bq", Metric.BQ_COSINE)
+    w = db.writer(3, m=4)
+    w.add_item(0, [1.0, -1.5, 2.0])
+    w.builder().build()
+    db.commit_rw_txn()
+    reader = db.reader()
+    assert reader.item_vector(0) == [1.0, -1.0, 1.0]
+    assert reader.item_vector(99) is None
+
+
+def test_by_item_excludes_self(db):
+    data = _fill(db, 200, 8)
+    reader = db.reader()
+    res = reader.nns(5).ef_search(64).by_item(3)
+    ids = [i for i, _ in res.nns]
+    assert 3 not in ids
+    assert len(ids) == 5
+    assert reader.nns(5).by_item(999999) is None
+
+
+def test_filtered_search_exact(db, rng):
+    """Small candidate sets take the linear-scan path and must be exact
+    (reference reader tests:42-78)."""
+    data = _fill(db, 300, 16)
+    reader = db.reader()
+    cand = sorted(rng.choice(300, size=20, replace=False).tolist())
+    res = reader.nns(5).candidates(cand).by_vector(data[0])
+    ids = [i for i, _ in res.nns]
+    assert set(ids) <= set(cand)
+    # exact: brute force in numpy
+    d = ((data[cand] - data[0]) ** 2).sum(1)
+    expect = [cand[j] for j in np.argsort(d)[:5]]
+    assert ids == expect
+
+
+def test_filtered_search_graph_path(db, rng):
+    data = _fill(db, 400, 16)
+    reader = db.reader()
+    cand = sorted(rng.choice(400, size=350, replace=False).tolist())
+    res = reader.nns(10).ef_search(80).linear_below(10).candidates(cand).by_vector(data[0])
+    ids = [i for i, _ in res.nns]
+    assert set(ids) <= set(cand)
+    assert len(ids) == 10
+
+
+def test_count_more_than_items(db):
+    _fill(db, 10, 8)
+    reader = db.reader()
+    got = reader.by_vec(np.zeros(8, np.float32), n=50, ef_search=100)
+    assert len(got) == 10  # degraded top-up returns everything there is
+
+
+def test_search_cancellation(db):
+    _fill(db, 200, 8)
+    reader = db.reader()
+    res = reader.nns(10).by_vector_with_cancellation(np.zeros(8, np.float32), lambda: True)
+    assert res.did_cancel
+
+
+def test_concurrent_readers(db):
+    """Multithreaded readers (reference tests/test_basic.py:37-54)."""
+    data = _fill(db, 200, 8)
+    reader = db.reader()
+    errs = []
+
+    def worker(i):
+        try:
+            got = reader.by_vec(data[i], n=1, ef_search=32)
+            assert got[0][0] == i
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    assert not errs
+
+
+def test_abort_discards_everything(db):
+    w = db.writer(8, m=4)
+    w.add_item(0, np.ones(8, np.float32))
+    db.abort_rw_txn()
+    with pytest.raises(MissingMetadata):
+        db.reader()
+
+
+def test_durability_reopen(tmp_path):
+    import hannoy_tpu.api as api
+
+    db = Database(tmp_path / "db", Metric.EUCLIDEAN)
+    data = _fill(db, 100, 8)
+    db._env.close()
+    api._ENVS.clear()  # simulate a fresh process
+
+    db2 = Database(tmp_path / "db", Metric.EUCLIDEAN)
+    reader = db2.reader()
+    reader.assert_validity()
+    got = reader.by_vec(data[5], n=1)
+    assert got[0][0] == 5
+
+
+def test_force_rebuild(db):
+    data = _fill(db, 150, 8)
+    w = db.writer(8, m=8, ef=48)
+    w.builder().force_rebuild()
+    db.commit_rw_txn()
+    reader = db.reader()
+    reader.assert_validity()
+    assert reader.n_items() == 150
+    assert reader.by_vec(data[9], n=1)[0][0] == 9
+
+
+def test_prepare_changing_distance(db):
+    data = _fill(db, 100, 16)
+    w = db.writer(16, m=8, ef=48)
+    w2 = w.prepare_changing_distance(Metric.COSINE)
+    w2.builder().build()
+    w2._database.commit_rw_txn()
+    db_cos = Database(w._database._env.path, Metric.COSINE)
+    reader = db_cos.reader()
+    reader.assert_validity()
+    assert reader.by_vec(data[4], n=1)[0][0] == 4
+
+
+def test_u32_max_item_id(db):
+    """Huge ids are fine — slots are dense (writer.rs tests:68-107)."""
+    w = db.writer(4, m=4)
+    w.add_item(2**32 - 1, [1, 2, 3, 4])
+    w.add_item(0, [4, 3, 2, 1])
+    w.builder().build()
+    db.commit_rw_txn()
+    reader = db.reader()
+    got = reader.by_vec([1, 2, 3, 4], n=1)
+    assert got[0][0] == 2**32 - 1

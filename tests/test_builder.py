@@ -1,0 +1,183 @@
+"""Wave-parallel device builder tests (SURVEY §7 stage 6).
+
+Validation strategy mirrors the reference's (SURVEY §4): graph invariant
+checking after every build, the reachability property (search k=n returns
+everything), the deletion property (no edge to a deleted slot survives),
+recall parity vs the exact oracle, and determinism under a fixed seed.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from hannoy_tpu.build.builder import BuildOptions, build_graph
+from hannoy_tpu.errors import BuildCancelled
+from hannoy_tpu.models.flat import flat_topk
+from hannoy_tpu.models.hnsw import HostGraph, slot_capacity, to_device
+from hannoy_tpu.ops import beam, codecs, distances
+from hannoy_tpu.ops.distances import BQ_COSINE, COSINE, EUCLIDEAN
+
+
+def stage(metric, data, ids, m=12, m0=24):
+    """Stage vectors into a HostGraph the way Writer.build will."""
+    n, dims = data.shape
+    g = HostGraph.empty(metric, dims, m, m0, capacity=slot_capacity(n))
+    packed = codecs.pack(data, metric.codec)
+    norms = distances.np_norms(metric, packed)
+    slots = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        s = g.alloc_slot(int(ids[i]))
+        slots[i] = s
+        g.vectors[s] = packed[i]
+        g.norms[s] = norms[i]
+    return g, slots
+
+
+def search_recall(g, queries, k, ef, metric):
+    dev = to_device(g)
+    p = codecs.pack(queries, metric.codec)
+    q = jnp.asarray(p)
+    qn = jnp.asarray(distances.np_norms(metric, p))
+    ed, es = flat_topk(metric.name, q, qn, dev.vectors, dev.norms, dev.valid, k)
+    res = beam.hnsw_search(dev, q, qn, ef)
+    fd, ed = np.asarray(res.dists), np.asarray(ed)
+    thresh = ed[:, k - 1 : k] + 1e-6
+    return float((fd[:, :k] <= thresh).mean())
+
+
+@pytest.mark.parametrize("metric", [EUCLIDEAN, COSINE, BQ_COSINE], ids=lambda m: m.name.split()[-1])
+def test_fresh_build_recall(rng, metric):
+    n, d, k = 1500, 32, 10
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    g, slots = stage(metric, data, np.arange(n))
+    opts = BuildOptions(ef_construction=64, wave_size=128)
+    build_graph(g, slots, np.empty(0, dtype=np.int64), opts)
+    g.check_validity()
+    queries = rng.standard_normal((16, d)).astype(np.float32)
+    rec = search_recall(g, queries, k, ef=100, metric=metric)
+    floor = 0.80 if metric.is_packed else 0.90
+    assert rec >= floor, f"wave-built recall@{k}={rec} for {metric.name}"
+
+
+def test_build_is_deterministic(rng):
+    n, d = 600, 16
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    graphs = []
+    for _ in range(2):
+        g, slots = stage(EUCLIDEAN, data, np.arange(n))
+        build_graph(g, slots, np.empty(0, dtype=np.int64), BuildOptions(wave_size=128))
+        graphs.append(g)
+    a, b = graphs
+    assert np.array_equal(a.links0, b.links0)
+    assert a.entry_slots == b.entry_slots
+    assert a.max_level == b.max_level
+    for l in range(len(a.upper_links)):
+        assert np.array_equal(a.upper_links[l], b.upper_links[l])
+
+
+def test_reachability_k_equals_n(rng):
+    """search(k=n) returns all items (reference proptest
+    all_items_are_reachable, src/tests/reader.rs:101-111)."""
+    n, d = 300, 16
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    g, slots = stage(EUCLIDEAN, data, np.arange(n), m=8, m0=16)
+    build_graph(g, slots, np.empty(0, dtype=np.int64), BuildOptions(wave_size=64))
+    dev = to_device(g)
+    p = codecs.pack(rng.standard_normal((4, d)).astype(np.float32), EUCLIDEAN.codec)
+    q, qn = jnp.asarray(p), jnp.asarray(distances.np_norms(EUCLIDEAN, p))
+    res = beam.hnsw_search(dev, q, qn, ef=n, max_iters=4 * n)
+    for row in np.asarray(res.slots):
+        missing = set(slots.tolist()) - set(row.tolist())
+        assert not missing, f"{len(missing)} items unreachable"
+
+
+def test_incremental_insert(rng):
+    n1, n2, d = 800, 400, 16
+    data = rng.standard_normal((n1 + n2, d)).astype(np.float32)
+    g, slots = stage(EUCLIDEAN, data[:n1], np.arange(n1))
+    build_graph(g, slots[:n1], np.empty(0, dtype=np.int64), BuildOptions(wave_size=128))
+
+    # stage and insert the second batch incrementally
+    packed = codecs.pack(data[n1:], EUCLIDEAN.codec)
+    norms = distances.np_norms(EUCLIDEAN, packed)
+    new_slots = np.empty(n2, dtype=np.int64)
+    g.grow(slot_capacity(n1 + n2))
+    for i in range(n2):
+        s = g.alloc_slot(n1 + i)
+        new_slots[i] = s
+        g.vectors[s] = packed[i]
+        g.norms[s] = norms[i]
+    build_graph(g, new_slots, np.empty(0, dtype=np.int64), BuildOptions(wave_size=128))
+    g.check_validity()
+    assert g.n_items == n1 + n2
+
+    rec = search_recall(g, rng.standard_normal((16, d)).astype(np.float32), 10, 100, EUCLIDEAN)
+    assert rec >= 0.9, f"incremental recall {rec}"
+
+
+def test_delete_then_build_repairs(rng):
+    """Deletion property: no link to a deleted slot survives anywhere
+    (reference fuzz invariant, src/tests/fuzz.rs:39-77), and recall holds
+    after the FreshDiskANN repair pass."""
+    n, d = 1000, 16
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    g, slots = stage(EUCLIDEAN, data, np.arange(n))
+    build_graph(g, slots, np.empty(0, dtype=np.int64), BuildOptions(wave_size=128))
+
+    doomed = slots[rng.choice(n, size=200, replace=False)]
+    build_graph(g, np.empty(0, dtype=np.int64), doomed, BuildOptions(wave_size=128))
+    for s in doomed:
+        g.release_slot(int(s))
+    g.check_validity()
+    doomed_set = set(int(x) for x in doomed)
+    assert not (set(g.entry_slots) & doomed_set)
+    for s in np.nonzero(g.valid_mask())[0]:
+        for level in range(int(g.levels[s]) + 1):
+            assert not (set(g.links_of(int(s), level).tolist()) & doomed_set)
+
+    rec = search_recall(g, rng.standard_normal((16, d)).astype(np.float32), 10, 100, EUCLIDEAN)
+    assert rec >= 0.85, f"post-delete recall {rec}"
+
+
+def test_delete_entry_points(rng):
+    """Deleting every entry point forces replacement from lower layers
+    (hnsw.rs:242-257; reference issues #52/#74 territory)."""
+    n, d = 500, 16
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    g, slots = stage(EUCLIDEAN, data, np.arange(n))
+    build_graph(g, slots, np.empty(0, dtype=np.int64), BuildOptions(wave_size=128))
+    doomed = np.asarray(sorted(g.entry_slots), dtype=np.int64)
+    build_graph(g, np.empty(0, dtype=np.int64), doomed, BuildOptions(wave_size=128))
+    for s in doomed:
+        g.release_slot(int(s))
+    g.check_validity()
+    assert g.entry_slots, "entry points must be replaced after deletion"
+
+
+def test_delete_everything(rng):
+    """Delete-all leaves an empty but consistent graph (reference issue #52
+    empty-index edge case, src/tests/writer.rs:47-65)."""
+    n, d = 200, 8
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    g, slots = stage(EUCLIDEAN, data, np.arange(n), m=4, m0=8)
+    build_graph(g, slots, np.empty(0, dtype=np.int64), BuildOptions(wave_size=64))
+    build_graph(g, np.empty(0, dtype=np.int64), slots, BuildOptions(wave_size=64))
+    for s in slots:
+        g.release_slot(int(s))
+    assert g.n_items == 0
+    assert g.max_level == 0  # whole-graph deletion resets height
+
+
+def test_cancellation(rng):
+    n, d = 400, 8
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    g, slots = stage(EUCLIDEAN, data, np.arange(n), m=4, m0=8)
+    calls = {"n": 0}
+
+    def cancel():
+        calls["n"] += 1
+        return calls["n"] > 2
+
+    with pytest.raises(BuildCancelled):
+        build_graph(g, slots, np.empty(0, dtype=np.int64), BuildOptions(wave_size=32, cancel=cancel))
