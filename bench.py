@@ -49,8 +49,15 @@ def main() -> None:
 
     metric = distances.COSINE
     rng = np.random.default_rng(42)
-    data = rng.standard_normal((n, d)).astype(np.float32)
-    queries = rng.standard_normal((n_queries, d)).astype(np.float32)
+    # clustered synthetic data: mixture of gaussians, matching the local
+    # structure of real embedding corpora (pure isotropic gaussian 768-d is
+    # the known adversarial case for every graph-ANN method)
+    n_clusters = max(32, n // 256)
+    centers = rng.standard_normal((n_clusters, d)).astype(np.float32) * 4.0
+    assign = rng.integers(0, n_clusters, size=n)
+    data = (centers[assign] + rng.standard_normal((n, d))).astype(np.float32)
+    q_assign = rng.integers(0, n_clusters, size=n_queries)
+    queries = (centers[q_assign] + rng.standard_normal((n_queries, d))).astype(np.float32)
 
     # ---- stage ----
     g = HostGraph.empty(metric, d, m, m0, capacity=slot_capacity(n))

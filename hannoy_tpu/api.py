@@ -47,10 +47,11 @@ from .models.flat import flat_topk
 from .models.hnsw import HostGraph
 from .ops import beam as _beam
 from .ops import codecs, distances
-from .store.env import Env
+from .store.native_env import open_env
 from .store.schema import (
     Key,
     Metadata,
+    NodeMode,
     Prefix,
     UpdateStatus,
     decode_item,
@@ -111,7 +112,7 @@ def _shared_env(path: str, map_size: int) -> Env:
     with _ENVS_LOCK:
         env = _ENVS.get(key)
         if env is None:
-            env = Env(path, map_size)
+            env = open_env(path, map_size)
             env._graph_cache = {}  # {(name,index): (gen_id, HostGraph)}
             env._shared_wtxn = None
             _ENVS[key] = env
@@ -501,6 +502,44 @@ class Writer:
         self._database._env._graph_cache.pop(self._cache_key, None)
         db.delete(wtxn, Key.metadata(self._index).to_bytes())
         return self._build(opts, m=m, m0=m0)
+
+    def prepare_foreign_conversion(self) -> int:
+        """Dumpless conversion of a foreign/legacy index sharing this key
+        space (reference ``prepare_arroy_conversion``, writer.rs:292-354):
+        keep every decodable item record with the right on-store width,
+        journal it as Updated so the next build relinks it, and delete
+        every other entry (stale links, foreign metadata, trees).
+
+        Returns the number of items scheduled for (re)indexing.
+        """
+        wtxn = self._database._wtxn()
+        db = self._database._db
+        opts_progress = NoProgress()
+        opts_progress.update(BuildStep.CONVERTING_FOREIGN_INDEX)
+        codec = self._metric.codec
+        on_disk = codecs.padded_dim(self._dimensions, codec)
+        row_bytes = on_disk * 4 if codec == codecs.F32 else on_disk // 8
+        n = 0
+        for key, val in list(db.prefix_iter(wtxn, Prefix.all(self._index))):
+            k = Key.from_bytes(key)
+            keep = False
+            if k.mode == NodeMode.ITEM:
+                try:
+                    _, vecb = decode_item(val)
+                    keep = len(vecb) == row_bytes
+                except Exception:
+                    keep = False
+            if keep:
+                db.put(
+                    wtxn,
+                    Key.updated(self._index, k.item).to_bytes(),
+                    encode_update_status(UpdateStatus.UPDATED),
+                )
+                n += 1
+            else:
+                db.delete(wtxn, key)
+        self._database._env._graph_cache.pop(self._cache_key, None)
+        return n
 
     def prepare_changing_distance(self, new_metric: Metric) -> "Writer":
         """Re-own all items under a new metric (writer.rs:358-410); links

@@ -41,6 +41,8 @@ FLAT_BOOTSTRAP = 1024
 DEFAULT_WAVE = 256
 #: rows repaired per device step in the deletion pass
 REPAIR_BLOCK = 512
+#: wave sizes snap to these buckets to bound jit compilations
+_WAVE_BUCKETS = (16, 128, 1024, 4096)
 
 
 @dataclasses.dataclass
@@ -198,12 +200,13 @@ def build_graph(
             # Wave-size ramp: a wave is blind to its own members (they link
             # only to already-active nodes), so cap each wave at 1/4 of the
             # active graph — the reference's racy threads see ~all prior
-            # inserts; this bounds our divergence. Pad to powers of two so
-            # the jitted step compiles O(log wave_size) times.
-            w_i = min(W, max(8, n_active // 4))
-            w_pad = 8
-            while w_pad < w_i:
-                w_pad *= 2
+            # inserts; this bounds our divergence. Snap to a tiny bucket set
+            # so the jitted step compiles O(1) times.
+            w_i = min(W, max(16, n_active // 4))
+            w_pad = 16
+            for b in _WAVE_BUCKETS:
+                if b <= w_i:
+                    w_pad = b
             w_pad = min(w_pad, W)
             chunk = grp[start : start + w_pad]
             start += len(chunk)
@@ -269,7 +272,8 @@ def _insert_wave(
             wave_j,
             seeds,
             node_ok,
-            level=level,
+            jnp.int32(level),
+            is_level0=(level == 0),
             ef=opts.ef_construction,
             cap=cap,
             alpha=opts.alpha,
@@ -323,6 +327,12 @@ def _repair_deletions(
             chunk = affected_owners[start : start + REPAIR_BLOCK]
             block[: len(chunk)] = chunk
             dev = wave_ops.repair_deleted_rows(
-                dev, jnp.asarray(block), deleted_j, level, cap, opts.alpha
+                dev,
+                jnp.asarray(block),
+                deleted_j,
+                jnp.int32(level),
+                is_level0=(level == 0),
+                cap=cap,
+                alpha=opts.alpha,
             )
     return dev

@@ -41,34 +41,41 @@ def _scatter_rows(
 
 
 def _set_level_rows(
-    g: DeviceGraph, level: int, slots: jax.Array, ids: jax.Array, d: jax.Array
+    g: DeviceGraph, level, slots: jax.Array, ids: jax.Array, d: jax.Array
 ) -> DeviceGraph:
-    """Overwrite link rows of ``slots`` at ``level`` (slots may be NO_ID)."""
-    if level == 0:
+    """Overwrite link rows of ``slots`` at ``level`` (slots may be NO_ID).
+
+    ``level`` is the static int 0 for layer 0; upper layers may pass a
+    traced scalar — the stacked tables are updated with a dynamic index so
+    one compilation covers every upper layer."""
+    if isinstance(level, int) and level == 0:
         links0 = _scatter_rows(g.links0, slots, ids)
         dists0 = _scatter_rows(g.dists0, slots, d)
         return _replace(g, links0=links0, dists0=dists0)
+    l = level - 1
     rows = jnp.where(
-        slots >= 0, g.slot_rows[level - 1][jnp.maximum(slots, 0)], NO_ID
+        slots >= 0, jnp.take(g.slot_rows, l, axis=0)[jnp.maximum(slots, 0)], NO_ID
     )
-    ul = g.upper_links.at[level - 1].set(
-        _scatter_rows(g.upper_links[level - 1], rows, ids)
+    ul = jax.lax.dynamic_update_index_in_dim(
+        g.upper_links, _scatter_rows(jnp.take(g.upper_links, l, axis=0), rows, ids), l, 0
     )
-    ud = g.upper_dists.at[level - 1].set(
-        _scatter_rows(g.upper_dists[level - 1], rows, d)
+    ud = jax.lax.dynamic_update_index_in_dim(
+        g.upper_dists, _scatter_rows(jnp.take(g.upper_dists, l, axis=0), rows, d), l, 0
     )
     return _replace(g, upper_links=ul, upper_dists=ud)
 
 
-def _level_rows(g: DeviceGraph, level: int, slots: jax.Array):
-    """(ids, dists) link rows of ``slots`` at ``level``."""
+def _level_rows(g: DeviceGraph, level, slots: jax.Array):
+    """(ids, dists) link rows of ``slots`` at ``level`` (see _set_level_rows
+    for the static/traced level contract)."""
     ids = beam.links_at(g, level, slots)
     safe = jnp.maximum(slots, 0)
-    if level == 0:
+    if isinstance(level, int) and level == 0:
         d = g.dists0[safe]
     else:
-        rows = g.slot_rows[level - 1][safe]
-        d = g.upper_dists[level - 1][jnp.maximum(rows, 0)]
+        l = level - 1
+        rows = jnp.take(g.slot_rows, l, axis=0)[safe]
+        d = jnp.take(g.upper_dists, l, axis=0)[jnp.maximum(rows, 0)]
         d = jnp.where((rows >= 0)[:, None], d, INF)
     d = jnp.where(ids != NO_ID, d, INF)
     return ids, d
@@ -94,7 +101,7 @@ def _replace(g: DeviceGraph, **kw) -> DeviceGraph:
 
 @partial(
     jax.jit,
-    static_argnames=("level", "ef", "cap", "alpha", "inc_cap", "flat"),
+    static_argnames=("is_level0", "ef", "cap", "alpha", "inc_cap", "flat"),
     donate_argnames=("g",),
 )
 def wave_insert_level(
@@ -102,10 +109,11 @@ def wave_insert_level(
     wave_slots: jax.Array,  # [W] (-1 padded)
     seeds: jax.Array,  # [W, S] entry slots for this level's walk
     node_ok: jax.Array,  # [N_pad] exists-and-not-deleted (beam traversal)
-    level: int,
-    ef: int,
-    cap: int,
-    alpha: float,
+    level: jax.Array,  # traced scalar; only read when not is_level0
+    is_level0: bool = True,
+    ef: int = 100,
+    cap: int = 32,
+    alpha: float = 1.0,
     inc_cap: int = 16,
     flat: bool = False,
 ) -> WaveLevelResult:
@@ -121,10 +129,15 @@ def wave_insert_level(
     wave_ok = wave_slots >= 0
     q = g.vectors[jnp.maximum(wave_slots, 0)]
     qn = g.norms[jnp.maximum(wave_slots, 0)]
+    level = 0 if is_level0 else level
 
     if flat:
         d_mat = distances.matrix_distances(metric, q, qn, g.vectors, g.norms)
-        member = g.valid if level == 0 else (g.valid & (g.slot_rows[level - 1] >= 0))
+        member = (
+            g.valid
+            if is_level0
+            else (g.valid & (jnp.take(g.slot_rows, level - 1, axis=0) >= 0))
+        )
         d_mat = jnp.where(member[None, :], d_mat, INF)
         neg, idx = jax.lax.top_k(-d_mat, min(ef, g.capacity))
         cand_d, cand_ids = -neg, jnp.where(jnp.isfinite(-neg), idx, NO_ID)
@@ -201,14 +214,15 @@ def activate_wave(g: DeviceGraph, wave_slots: jax.Array) -> DeviceGraph:
 
 @partial(
     jax.jit,
-    static_argnames=("level", "cap", "alpha", "ext_cap"),
+    static_argnames=("is_level0", "cap", "alpha", "ext_cap"),
     donate_argnames=("g",),
 )
 def repair_deleted_rows(
     g: DeviceGraph,
     row_slots: jax.Array,  # [R] owners with >=1 deleted neighbor (-1 pad)
     deleted: jax.Array,  # [N_pad] bool
-    level: int,
+    level: jax.Array,  # traced; only read when not is_level0
+    is_level0: bool,
     cap: int,
     alpha: float,
     ext_cap: int = 64,
@@ -222,6 +236,7 @@ def repair_deleted_rows(
     reference's unbounded splice), α-prune on overflow.
     """
     metric = g.metric
+    level = 0 if is_level0 else level
     owners_ok = row_slots >= 0
     row_ids, row_d = _level_rows(g, level, row_slots)
 
@@ -256,11 +271,12 @@ def repair_deleted_rows(
     return _set_level_rows(g, level, out_rows, merged_ids, merged_d)
 
 
-@partial(jax.jit, static_argnames=("level",), donate_argnames=("g",))
+@partial(jax.jit, static_argnames=("is_level0",), donate_argnames=("g",))
 def _fill_dists_block(
-    g: DeviceGraph, slots: jax.Array, level: int
+    g: DeviceGraph, slots: jax.Array, level: jax.Array, is_level0: bool
 ) -> DeviceGraph:
     metric = g.metric
+    level = 0 if is_level0 else level
     ids, _ = _level_rows(g, level, slots)
     ovec = g.vectors[jnp.maximum(slots, 0)]
     onrm = g.norms[jnp.maximum(slots, 0)]
@@ -290,7 +306,9 @@ def fill_link_dists(g: DeviceGraph, host, block: int = 4096) -> DeviceGraph:
             chunk = np.full(block, -1, dtype=np.int32)
             sel = owners[start : start + block]
             chunk[: len(sel)] = sel
-            g = _fill_dists_block(g, jnp.asarray(chunk), level)
+            g = _fill_dists_block(
+                g, jnp.asarray(chunk), jnp.int32(level), is_level0=(level == 0)
+            )
     return g
 
 

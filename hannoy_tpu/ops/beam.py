@@ -46,20 +46,23 @@ def _gather_rows(vectors: jax.Array, norms: jax.Array, idx: jax.Array):
     return vectors[safe], norms[safe]
 
 
-def links_at(g: DeviceGraph, level: int, slots: jax.Array) -> jax.Array:
+def links_at(g: DeviceGraph, level, slots: jax.Array) -> jax.Array:
     """Neighbor slots of ``slots [B]`` at ``level`` → [B, M or M0].
 
     Replaces the reference's per-node LMDB links lookup
-    (``get_links``/``FrozenReader::links``) with an HBM gather. ``level``
-    is static: layer 0 reads the full-width table, upper layers go through
-    the slot→row indirection into the compact tables.
+    (``get_links``/``FrozenReader::links``) with an HBM gather. Layer 0
+    (static) reads the full-width table; upper layers go through the
+    slot→row indirection into the compact stacked tables — ``level`` may
+    be a *traced* scalar there, so one compiled program serves every upper
+    layer (compile count stays O(1) in graph height).
     """
     safe = jnp.maximum(slots, 0)
-    if level == 0:
+    if isinstance(level, int) and level == 0:
         nbs = g.links0[safe]
     else:
-        rows = g.slot_rows[level - 1][safe]
-        nbs = g.upper_links[level - 1][jnp.maximum(rows, 0)]
+        l = level - 1
+        rows = jnp.take(g.slot_rows, l, axis=0)[safe]
+        nbs = jnp.take(g.upper_links, l, axis=0)[jnp.maximum(rows, 0)]
         nbs = jnp.where((rows >= 0)[:, None], nbs, NO_ID)
     return jnp.where((slots >= 0)[:, None], nbs, NO_ID)
 
@@ -119,12 +122,12 @@ def _greedy_level(
     max_steps: int,
 ) -> tuple[jax.Array, jax.Array]:
     metric = g.metric
-    l = level - 1  # row into stacked upper tables
+    l = level - 1  # row into stacked upper tables (may be traced)
 
     def body(state):
         cur, cur_d, _, it = state
-        rows = g.slot_rows[l][jnp.maximum(cur, 0)]
-        nbs = g.upper_links[l][jnp.maximum(rows, 0)]  # [B, M]
+        rows = jnp.take(g.slot_rows, l, axis=0)[jnp.maximum(cur, 0)]
+        nbs = jnp.take(g.upper_links, l, axis=0)[jnp.maximum(rows, 0)]  # [B, M]
         nb_valid = (nbs >= 0) & (rows >= 0)[:, None] & (cur >= 0)[:, None]
         vs, ns = _gather_rows(g.vectors, g.norms, nbs)
         d = distances.gathered_distances(metric, q, qn, vs, ns)

@@ -248,7 +248,7 @@ def sharded_insert_wave(
         seeds = jnp.broadcast_to(g.entry_slots[None, :], (w.shape[0], g.entry_slots.shape[0]))
         node_ok = g.valid | _slots_mask(g.capacity, w)
         res = wave_ops.wave_insert_level(
-            g, w, seeds, node_ok, level=0, ef=ef, cap=cap, alpha=alpha
+            g, w, seeds, node_ok, jnp.int32(0), is_level0=True, ef=ef, cap=cap, alpha=alpha
         )
         g2 = wave_ops.activate_wave(res.graph, w)
         return {

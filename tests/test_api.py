@@ -314,3 +314,29 @@ def test_u32_max_item_id(db):
     reader = db.reader()
     got = reader.by_vec([1, 2, 3, 4], n=1)
     assert got[0][0] == 2**32 - 1
+
+
+def test_prepare_foreign_conversion(db, rng):
+    """Foreign-index conversion keeps only well-formed item records and
+    relinks them (reference arroy interop, src/tests/writer.rs:231-373)."""
+    from hannoy_tpu.store.schema import Key
+
+    data = _fill(db, 80, 8)
+    # simulate foreign junk sharing the key space: a bogus links row and a
+    # truncated item record
+    w = db.writer(8, m=8, ef=48)
+    wtxn = db._wtxn()
+    db._db.put(wtxn, Key.links(0, 9999, 7).to_bytes(), b"\x01garbage")
+    db._db.put(wtxn, Key.item(0, 5000).to_bytes(), b"\x00\x00\x04HDRshort")
+    n = w.prepare_foreign_conversion()
+    assert n == 80
+    w.builder().build()
+    db.commit_rw_txn()
+    reader = db.reader()
+    reader.assert_validity()
+    assert reader.n_items() == 80
+    assert not reader.contains_item(5000)
+    # every original vector re-found at distance ~0
+    for i in (0, 40, 79):
+        got = reader.by_vec(data[i], n=1, ef_search=64)
+        assert got[0][0] == i and got[0][1] < 1e-5

@@ -10,12 +10,19 @@ import os
 import pytest
 
 from hannoy_tpu.errors import DatabaseFull
-from hannoy_tpu.store import Env, Key, Prefix
+from hannoy_tpu.store import Env, Key, NativeEnv, Prefix
+
+BACKENDS = {"python": Env, "native": NativeEnv}
+
+
+@pytest.fixture(params=list(BACKENDS))
+def env_cls(request):
+    return BACKENDS[request.param]
 
 
 @pytest.fixture
-def env(tmp_path):
-    e = Env(tmp_path / "db")
+def env(tmp_path, env_cls):
+    e = env_cls(tmp_path / "db")
     yield e
     e.close()
 
@@ -92,25 +99,25 @@ def test_prefix_iter_sees_rw_overlay(env):
     wtxn.abort()
 
 
-def test_durability_across_reopen(tmp_path):
+def test_durability_across_reopen(tmp_path, env_cls):
     path = tmp_path / "db"
-    env = Env(path)
+    env = env_cls(path)
     db = env.create_database(None, None)
     with env.write_txn() as wtxn:
         db.put(wtxn, Key.item(0, 7).to_bytes(), b"persisted")
     env.close()
 
-    env2 = Env(path)
+    env2 = env_cls(path)
     db2 = env2.create_database(None, None)
     assert db2.get(env2.read_txn(), Key.item(0, 7).to_bytes()) == b"persisted"
     env2.close()
 
 
-def test_torn_tail_recovery(tmp_path):
+def test_torn_tail_recovery(tmp_path, env_cls):
     """A crashed (partial) commit batch is discarded on reopen — mirrors
     LMDB's nothing-persists-until-commit guarantee."""
     path = tmp_path / "db"
-    env = Env(path)
+    env = env_cls(path)
     db = env.create_database(None, None)
     with env.write_txn() as wtxn:
         db.put(wtxn, b"good::ok", b"1")
@@ -121,7 +128,7 @@ def test_torn_tail_recovery(tmp_path):
     with open(log, "ab") as f:
         f.write(b"HNYT\x01\x00\x00\x10\x00partial-garbage")  # torn batch
 
-    env2 = Env(path)
+    env2 = env_cls(path)
     db2 = env2.create_database(None, None)
     assert db2.get(env2.read_txn(), b"good::ok") == b"1"
     env2.close()
@@ -138,8 +145,8 @@ def test_named_databases_are_isolated(env):
     assert b.get(rtxn, b"k" * 8) is None
 
 
-def test_map_size_enforced(tmp_path):
-    env = Env(tmp_path / "small", map_size=1024)
+def test_map_size_enforced(tmp_path, env_cls):
+    env = env_cls(tmp_path / "small", map_size=1024)
     db = env.create_database(None, None)
     wtxn = env.write_txn()
     with pytest.raises(DatabaseFull):
@@ -149,8 +156,8 @@ def test_map_size_enforced(tmp_path):
     env.close()
 
 
-def test_compaction_preserves_data(tmp_path):
-    env = Env(tmp_path / "db")
+def test_compaction_preserves_data(tmp_path, env_cls):
+    env = env_cls(tmp_path / "db")
     db = env.create_database(None, "t")
     for round_ in range(5):
         with env.write_txn() as wtxn:
@@ -159,7 +166,47 @@ def test_compaction_preserves_data(tmp_path):
     env.compact()
     assert db.get(env.read_txn(), Key.item(0, 49).to_bytes()) == bytes([4]) * 32
     env.close()
-    env2 = Env(tmp_path / "db")
+    env2 = env_cls(tmp_path / "db")
     db2 = env2.create_database(None, "t")
     assert db2.get(env2.read_txn(), Key.item(0, 0).to_bytes()) == bytes([4]) * 32
     env2.close()
+
+
+def test_backends_share_on_disk_format(tmp_path):
+    """The native C++ engine and the Python backend read each other's files."""
+    path = tmp_path / "db"
+    py = Env(path)
+    db = py.create_database(None, "t")
+    with py.write_txn() as wtxn:
+        for i in range(20):
+            db.put(wtxn, Key.item(3, i).to_bytes(), bytes([i]) * 10)
+        db.delete(wtxn, Key.item(3, 5).to_bytes())
+    py.close()
+
+    nat = NativeEnv(path)
+    ndb = nat.create_database(None, "t")
+    rtxn = nat.read_txn()
+    assert ndb.get(rtxn, Key.item(3, 7).to_bytes()) == bytes([7]) * 10
+    assert ndb.get(rtxn, Key.item(3, 5).to_bytes()) is None
+    got = [Key.from_bytes(k).item for k, _ in ndb.prefix_iter(rtxn, Prefix.item(3))]
+    assert got == [i for i in range(20) if i != 5]
+    with nat.write_txn() as wtxn:
+        ndb.put(wtxn, Key.item(3, 100).to_bytes(), b"from-native")
+    nat.close()
+
+    py2 = Env(path)
+    db2 = py2.create_database(None, "t")
+    assert db2.get(py2.read_txn(), Key.item(3, 100).to_bytes()) == b"from-native"
+    py2.close()
+
+
+def test_native_bulk_rows(tmp_path):
+    nat = NativeEnv(tmp_path / "db")
+    db = nat.create_database(None, None)
+    with nat.write_txn() as w:
+        for i in range(10):
+            db.put(w, Key.item(0, i).to_bytes(), b"HDR" + bytes([i]) * 4)
+    keys, rows = db.bulk_rows(nat.read_txn(), Prefix.item(0), skip=3, row_bytes=4, cap=64)
+    assert len(keys) == 10
+    assert rows[3].tolist() == [3, 3, 3, 3]
+    nat.close()
