@@ -65,6 +65,7 @@ from .store.schema import (
 from .utils.idset import IdSet
 from .utils.progress import BuildStep, NoProgress
 from .utils.stats import BuildStats
+from .utils.tracing import span
 from .version import CURRENT_VERSION
 
 DEFAULT_ENV_SIZE = 1024 * 1024 * 1024  # 1 GiB (python.rs:15)
@@ -447,7 +448,8 @@ class Writer:
 
         # 4. device build
         if len(insert_slots) or len(delete_slots):
-            _builder.build_graph(g, insert_slots, delete_slots, opts, stats)
+            with span("build_graph", inserts=len(insert_slots), deletes=len(delete_slots)):
+                _builder.build_graph(g, insert_slots, delete_slots, opts, stats)
 
         # 5. delete links of removed items AFTER build (writer.rs:577-580)
         opts.progress.update(BuildStep.DELETING_THE_LINKS)
@@ -459,7 +461,8 @@ class Writer:
 
         # 6. flush links + metadata + version (writer.rs:585-600)
         opts.progress.update(BuildStep.WRITING_THE_ITEMS)
-        g.flush_links(db, wtxn, self._index)
+        with span("flush_links", items=g.n_items):
+            g.flush_links(db, wtxn, self._index)
         opts.progress.update(BuildStep.WRITE_THE_METADATA)
         entry_ids = [int(g.ids[s]) for s in g.entry_slots]
         db.put(

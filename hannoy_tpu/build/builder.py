@@ -31,6 +31,7 @@ from ..models import hnsw
 from ..models.hnsw import DeviceGraph, HostGraph
 from ..ops import beam
 from ..utils.progress import BuildStep, InsertItemsStep, NoProgress
+from ..utils.tracing import span
 from ..utils.stats import BuildStats
 from . import wave_ops
 from .levels import sample_levels
@@ -152,7 +153,8 @@ def build_graph(
     insert_levels = sample_levels(rng, g.m, len(insert_slots))
 
     opts.progress.update(BuildStep.RESOLVE_GRAPH_ENTRY_POINTS)
-    slots, lvls = prepare_entry_points(g, insert_slots, insert_levels, deleted_set)
+    with span("prepare_entry_points", inserts=len(insert_slots), deletes=len(deleted_set)):
+        slots, lvls = prepare_entry_points(g, insert_slots, insert_levels, deleted_set)
 
     # Allocate upper-layer rows up front (device tables are static per build)
     g.ensure_layers(g.max_level)
@@ -212,7 +214,8 @@ def build_graph(
             start += len(chunk)
             wave = np.full(w_pad, -1, dtype=np.int32)
             wave[: len(chunk)] = chunk
-            dev = _insert_wave(dev, wave, lv, opts, n_active, node_ok, stats)
+            with span("insert_wave", level=lv, width=w_pad, active=n_active):
+                dev = _insert_wave(dev, wave, lv, opts, n_active, node_ok, stats)
             dev = wave_ops.activate_wave(dev, jnp.asarray(wave))
             n_active += len(chunk)
             done += len(chunk)
@@ -222,7 +225,8 @@ def build_graph(
     # ---- deletion repair (fill_gaps_from_deleted, hnsw.rs:334-415) ----
     if deleted_set:
         opts.progress.update(BuildStep.PATCH_OLD_NEW_DELETED_LINKS)
-        dev = _repair_deletions(g, dev, deleted_set, opts, stats)
+        with span("repair_deletions", deleted=len(deleted_set)):
+            dev = _repair_deletions(g, dev, deleted_set, opts, stats)
         dev = wave_ops.clear_slots(
             dev, jnp.asarray(np.fromiter(deleted_set, dtype=np.int32))
         )
@@ -252,14 +256,10 @@ def _insert_wave(
     prune + connect, chaining each level's pruned set as the next level's
     seeds (hnsw.rs:291-328)."""
     wave_j = jnp.asarray(wave)
-    q = dev.vectors[jnp.maximum(wave_j, 0)]
-    qn = dev.norms[jnp.maximum(wave_j, 0)]
-
     use_flat = n_active <= FLAT_BOOTSTRAP
 
     if dev.max_level > lv and not use_flat:
-        ep = beam.greedy_descend(dev, q, qn, dev.max_level, lv + 1)
-        seeds = ep[:, None]
+        seeds = beam.descend_for_slots(dev, wave_j, dev.max_level, lv + 1)
     else:
         seeds = jnp.broadcast_to(
             dev.entry_slots[None, :], (wave.shape[0], dev.entry_slots.shape[0])

@@ -152,6 +152,25 @@ def _greedy_level(
     return cur, cur_d
 
 
+@partial(jax.jit, static_argnames=("from_level", "to_level", "max_steps_per_level"))
+def descend_for_slots(
+    g: DeviceGraph,
+    wave_slots: jax.Array,  # [W]
+    from_level: int,
+    to_level: int,
+    max_steps_per_level: int = 128,
+) -> jax.Array:
+    """Jitted greedy descent for a wave of *stored* items: gathers their
+    vectors and walks layers ``from_level..to_level`` → seed slots [W, 1].
+
+    (Builders must not call ``greedy_descend`` eagerly — op-by-op dispatch
+    to the TPU costs ~ms per hop through the remote runtime.)"""
+    q = g.vectors[jnp.maximum(wave_slots, 0)]
+    qn = g.norms[jnp.maximum(wave_slots, 0)]
+    ep = greedy_descend(g, q, qn, from_level, to_level, max_steps_per_level)
+    return ep[:, None]
+
+
 # --------------------------------------------------------------------------
 # Layer-0 beam search
 # --------------------------------------------------------------------------

@@ -1,6 +1,7 @@
 from .idset import IdSet
 from .progress import BuildStep, CallbackProgress, InsertItemsStep, NoProgress
 from .stats import BuildStats
+from .tracing import span
 
 __all__ = [
     "IdSet",
@@ -9,4 +10,5 @@ __all__ = [
     "InsertItemsStep",
     "NoProgress",
     "BuildStats",
+    "span",
 ]
