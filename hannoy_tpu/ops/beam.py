@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.hnsw import DeviceGraph
-from . import distances, topk
+from . import beam_pallas, distances, topk
 from .topk import INF, NO_ID
 
 
@@ -44,6 +44,16 @@ def _gather_rows(vectors: jax.Array, norms: jax.Array, idx: jax.Array):
     """Gather vector rows + norms for (possibly -1) slot indices."""
     safe = jnp.maximum(idx, 0)
     return vectors[safe], norms[safe]
+
+
+def candidate_distances(g: DeviceGraph, q: jax.Array, qn: jax.Array, nbs: jax.Array) -> jax.Array:
+    """Distances from queries [B] to candidate slots [B, K] — the per-hop
+    hot op. Routes to the fused Pallas gather-reduce kernel when enabled
+    (HANNOY_TPU_PALLAS=1), else the XLA gather + batched distance."""
+    if beam_pallas.pallas_enabled():
+        return beam_pallas.gathered_distances_pallas(g.metric, g.vectors, g.norms, q, qn, nbs)
+    vs, ns = _gather_rows(g.vectors, g.norms, nbs)
+    return distances.gathered_distances(g.metric, q, qn, vs, ns)
 
 
 def links_at(g: DeviceGraph, level, slots: jax.Array) -> jax.Array:
@@ -129,8 +139,7 @@ def _greedy_level(
         rows = jnp.take(g.slot_rows, l, axis=0)[jnp.maximum(cur, 0)]
         nbs = jnp.take(g.upper_links, l, axis=0)[jnp.maximum(rows, 0)]  # [B, M]
         nb_valid = (nbs >= 0) & (rows >= 0)[:, None] & (cur >= 0)[:, None]
-        vs, ns = _gather_rows(g.vectors, g.norms, nbs)
-        d = distances.gathered_distances(metric, q, qn, vs, ns)
+        d = candidate_distances(g, q, qn, nbs)
         d = jnp.where(nb_valid, d, INF)
         best = jnp.argmin(d, axis=-1)
         best_d = jnp.take_along_axis(d, best[:, None], axis=-1)[:, 0]
@@ -246,8 +255,7 @@ def beam_search(
             & node_ok[jnp.maximum(nbs, 0)]
             & ~topk.contains(nbs, pool_id)
         )
-        vs, ns = _gather_rows(g.vectors, g.norms, nbs)
-        nd = distances.gathered_distances(metric, q, qn, vs, ns)
+        nd = candidate_distances(g, q, qn, nbs)
         nd = jnp.where(ok, nd, INF)
         nids = jnp.where(ok, nbs, NO_ID)
 
@@ -328,8 +336,7 @@ def beam_search_filtered(
         nbs = g.links0[jnp.maximum(cur, 0)]
         visited = topk.contains(nbs, fr_id) | topk.contains(nbs, res_id)
         ok = (nbs >= 0) & active[:, None] & node_ok[jnp.maximum(nbs, 0)] & ~visited
-        vs, ns = _gather_rows(g.vectors, g.norms, nbs)
-        nd = distances.gathered_distances(metric, q, qn, vs, ns)
+        nd = candidate_distances(g, q, qn, nbs)
         nd = jnp.where(ok, nd, INF)
         nids = jnp.where(ok, nbs, NO_ID)
 
