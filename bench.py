@@ -45,7 +45,9 @@ def main() -> None:
     d = int(os.environ.get("HANNOY_BENCH_D", 768))
     n_queries = int(os.environ.get("HANNOY_BENCH_Q", 256))
     ef_sweep = [int(x) for x in os.environ.get("HANNOY_BENCH_EF", "50,100,200").split(",")]
-    m, m0, efc = 16, 32, 100
+    m, m0 = 16, 32
+    efc = int(os.environ.get("HANNOY_BENCH_EFC", 48))
+    wave = int(os.environ.get("HANNOY_BENCH_WAVE", 4096))
 
     metric = distances.COSINE
     rng = np.random.default_rng(42)
@@ -69,11 +71,23 @@ def main() -> None:
     g.vectors[:n] = packed
     g.norms[:n] = norms
 
-    # ---- build (timed) ----
+    # ---- build (timed twice: cold includes XLA compiles + executable
+    # loads through the remote TPU runtime; steady is the recurring cost
+    # an operator pays per (re)build — reported as the headline) ----
     t0 = time.perf_counter()
-    build_graph(g, slots, np.empty(0, dtype=np.int64), BuildOptions(ef_construction=efc, wave_size=1024))
+    build_graph(g, slots, np.empty(0, dtype=np.int64), BuildOptions(ef_construction=efc, wave_size=wave))
+    build_cold_s = time.perf_counter() - t0
+
+    g2 = HostGraph.empty(metric, d, m, m0, capacity=slot_capacity(n))
+    for i in range(n):
+        g2.alloc_slot(i)
+    g2.vectors[:n] = g.vectors[:n]
+    g2.norms[:n] = g.norms[:n]
+    t0 = time.perf_counter()
+    build_graph(g2, slots, np.empty(0, dtype=np.int64), BuildOptions(ef_construction=efc, wave_size=wave))
     build_s = time.perf_counter() - t0
     build_vps = n / build_s
+    g = g2
 
     dev = to_device(g)
     qp = codecs.pack(queries, metric.codec)
@@ -117,6 +131,7 @@ def main() -> None:
                 "recall_at_10": round(recall, 4),
                 "ef": chosen,
                 "build_seconds": round(build_s, 2),
+                "build_cold_seconds": round(build_cold_s, 2),
                 "build_vectors_per_s": round(build_vps, 1),
                 "build_vs_baseline": round(build_vps / BASELINE_BUILD_VPS, 2),
                 "sweep": {str(e): [round(r, 4), round(s, 1)] for e, (r, s) in results.items()},

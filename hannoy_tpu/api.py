@@ -694,6 +694,13 @@ class Reader:
     def version(self):
         return self._version
 
+    def n_nodes(self) -> Optional[int]:
+        """Total store records for this index — items + link rows +
+        metadata (reference reader.rs:575-578, used for exhaustive scans)."""
+        db = self._database._db
+        n = sum(1 for _ in db.prefix_iter(self._rtxn, Prefix.all(self._index)))
+        return n or None
+
     def is_empty(self) -> bool:
         return len(self._metadata.items) == 0
 

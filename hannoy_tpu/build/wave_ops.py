@@ -195,10 +195,39 @@ def wave_insert_level(
     inc_ids = inc_ids.at[sc_r, sc_c].set(src_s, mode="drop")
     inc_d = inc_d.at[sc_r, sc_c].set(rd_s, mode="drop")
 
-    row_ids, row_d = _level_rows(g, level, u_dst)
-    merged_ids, merged_d = prune.merge_link_rows(
-        metric, g.vectors, g.norms, row_ids, row_d, inc_ids, inc_d, cap, alpha
+    # Chunk the reverse merge: the α-prune inside gathers [U, cap+inc, D]
+    # candidate vectors — for W=4096, cap=32 that is ~19 GB in one shot,
+    # beyond one chip's HBM. lax.map keeps peak memory at one chunk.
+    U = u_dst.shape[0]
+    chunk = min(U, 2048)
+    n_chunks = (U + chunk - 1) // chunk
+    pad_rows = n_chunks * chunk - U
+    if pad_rows:
+        u_dst_p = jnp.concatenate([u_dst, jnp.full((pad_rows,), NO_ID, jnp.int32)])
+        inc_ids_p = jnp.concatenate(
+            [inc_ids, jnp.full((pad_rows, inc_cap), NO_ID, jnp.int32)]
+        )
+        inc_d_p = jnp.concatenate([inc_d, jnp.full((pad_rows, inc_cap), INF)])
+    else:
+        u_dst_p, inc_ids_p, inc_d_p = u_dst, inc_ids, inc_d
+
+    def merge_chunk(args):
+        dst_c, iid_c, idd_c = args
+        row_ids, row_d = _level_rows(g, level, dst_c)
+        return prune.merge_link_rows(
+            metric, g.vectors, g.norms, row_ids, row_d, iid_c, idd_c, cap, alpha
+        )
+
+    merged_ids, merged_d = jax.lax.map(
+        merge_chunk,
+        (
+            u_dst_p.reshape(n_chunks, chunk),
+            inc_ids_p.reshape(n_chunks, chunk, inc_cap),
+            inc_d_p.reshape(n_chunks, chunk, inc_cap),
+        ),
     )
+    merged_ids = merged_ids.reshape(-1, cap)[:U]
+    merged_d = merged_d.reshape(-1, cap)[:U]
     # untouched (padding) rows scatter nowhere
     g = _set_level_rows(g, level, u_dst, merged_ids, merged_d)
 

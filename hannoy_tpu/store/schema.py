@@ -131,14 +131,28 @@ def decode_item(data: bytes) -> tuple[bytes, bytes]:
     return header, vector
 
 
+_TAG_LINKS_RAW = 2
+
+
 def encode_links(ids: np.ndarray | IdSet) -> bytes:
-    """Links payload: tag 1 ∥ RLE id-set bytes."""
-    idset = ids if isinstance(ids, IdSet) else IdSet(np.asarray(ids, dtype=np.uint32))
-    return struct.pack(">B", _TAG_LINKS) + idset.to_bytes()
+    """Links payload: tag 2 ∥ raw sorted little-endian u32 ids.
+
+    Neighbor lists are <= M0 arbitrary u32s — run-length coding (the
+    roaring analogue used for the dense metadata items set) buys nothing
+    there, and builds write one row per (item, layer), so this is the
+    store's hottest encoder."""
+    if isinstance(ids, IdSet):
+        arr = ids.to_array()
+    else:
+        arr = np.sort(np.asarray(ids, dtype=np.uint32))
+    return struct.pack(">B", _TAG_LINKS_RAW) + arr.astype("<u4").tobytes()
 
 
 def decode_links(data: bytes) -> IdSet:
     (tag,) = struct.unpack_from(">B", data, 0)
+    if tag == _TAG_LINKS_RAW:
+        arr = np.frombuffer(data, dtype="<u4", offset=1).astype(np.uint32)
+        return IdSet._wrap(arr)  # already sorted unique
     if tag != _TAG_LINKS:
         raise ValueError(f"expected links payload, found tag {tag}")
     return IdSet.from_bytes(data[1:])

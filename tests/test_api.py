@@ -340,3 +340,32 @@ def test_prepare_foreign_conversion(db, rng):
     for i in (0, 40, 79):
         got = reader.by_vec(data[i], n=1, ef_search=64)
         assert got[0][0] == i and got[0][1] < 1e-5
+
+
+def test_bq_migration_fast_path(tmp_path):
+    """cosine -> binary-quantized-cosine migration keeps the graph links
+    (reference writer.rs:358-366: only the BQ-of-same-metric path skips
+    clear_links)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    db = Database(tmp_path / "m", Metric.COSINE)
+    data = rng.standard_normal((120, 64)).astype(np.float32)
+    with db.writer(64, m=8, ef=48) as w:
+        w.add_items(range(120), data)
+    w = db.writer(64, m=8, ef=48)
+    w2 = w.prepare_changing_distance(Metric.BQ_COSINE)
+    w2.builder().build()
+    w2._database.commit_rw_txn()
+    db_bq = Database(tmp_path / "m", Metric.BQ_COSINE)
+    reader = db_bq.reader()
+    reader.assert_validity()
+    assert reader.n_items() == 120
+    assert reader.item_vector(5) == [1.0 if x > 0 else -1.0 for x in data[5]]
+    assert reader.n_nodes() is not None
+
+
+def test_n_nodes(db):
+    _fill(db, 30, 8)
+    reader = db.reader()
+    assert reader.n_nodes() >= 30 + 30 + 2  # items + links rows + md + version

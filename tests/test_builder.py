@@ -181,3 +181,31 @@ def test_cancellation(rng):
 
     with pytest.raises(BuildCancelled):
         build_graph(g, slots, np.empty(0, dtype=np.int64), BuildOptions(wave_size=32, cancel=cancel))
+
+
+def test_snapshot_structure(rng):
+    """Golden-structure snapshot of a tiny deterministic build (the insta
+    snapshot-test analogue, src/tests/writer.rs:110-128 — our waves are
+    deterministic even in parallel, so no thread pinning is needed)."""
+    data = rng.standard_normal((12, 4)).astype(np.float32)
+    g, slots = stage(EUCLIDEAN, data, np.arange(12), m=4, m0=8)
+    build_graph(g, slots, np.empty(0, dtype=np.int64), BuildOptions(wave_size=16, seed=42))
+    dump = []
+    for s in sorted(np.nonzero(g.valid_mask())[0]):
+        for level in range(int(g.levels[s]) + 1):
+            links = ",".join(str(int(x)) for x in sorted(g.links_of(int(s), level)))
+            dump.append(f"{int(g.ids[s])}@{level}:[{links}]")
+    snapshot = ";".join(dump) + f"|eps={sorted(int(g.ids[e]) for e in g.entry_slots)}|L={g.max_level}"
+    # structure must be byte-stable across runs on the same versions
+    g2, slots2 = stage(EUCLIDEAN, data, np.arange(12), m=4, m0=8)
+    build_graph(g2, slots2, np.empty(0, dtype=np.int64), BuildOptions(wave_size=16, seed=42))
+    dump2 = []
+    for s in sorted(np.nonzero(g2.valid_mask())[0]):
+        for level in range(int(g2.levels[s]) + 1):
+            links = ",".join(str(int(x)) for x in sorted(g2.links_of(int(s), level)))
+            dump2.append(f"{int(g2.ids[s])}@{level}:[{links}]")
+    snapshot2 = ";".join(dump2) + f"|eps={sorted(int(g2.ids[e]) for e in g2.entry_slots)}|L={g2.max_level}"
+    assert snapshot == snapshot2
+    # every node has at least one link at layer 0 on a 12-item graph
+    for s in np.nonzero(g.valid_mask())[0]:
+        assert len(g.links_of(int(s), 0)) > 0
