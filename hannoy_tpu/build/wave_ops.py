@@ -146,7 +146,12 @@ def wave_insert_level(
             cand_ids = jnp.pad(cand_ids, ((0, 0), (0, pad)), constant_values=NO_ID)
             cand_d = jnp.pad(cand_d, ((0, 0), (0, pad)), constant_values=INF)
     else:
-        res = beam.beam_search(g, q, qn, seeds, ef, node_ok=node_ok, level=level)
+        # construction beams converge long before the search-time default
+        # iteration cap; ef + 16 expansions is enough for candidate quality
+        # (the alpha-prune keeps only `cap` of them anyway)
+        res = beam.beam_search(
+            g, q, qn, seeds, ef, max_iters=ef + 16, node_ok=node_ok, level=level
+        )
         cand_ids, cand_d = res.slots, res.dists
 
     # exclude self (re-inserted entry points find themselves at distance 0 —
