@@ -398,7 +398,13 @@ class DeviceGraph:
 def to_device(g: HostGraph, max_entry_points: int = 32) -> DeviceGraph:
     """Upload a host graph into HBM arrays (the Reader::open / prefetch
     analogue — reference reader.rs:446-543 madvises pages; we materialise
-    the whole index in HBM)."""
+    the whole index in HBM).
+
+    HANNOY_TPU_BF16=1 stores f32 vectors as bfloat16 in HBM — halves the
+    footprint and the beam gather bandwidth; distances upcast or use the
+    MXU's native bf16 path (see ops.distances). The host/store copy stays
+    f32, so persisted data is unaffected.
+    """
     n_layers = len(self_layers := g.upper_links)
     if n_layers:
         u_pad = max(a.shape[0] for a in self_layers)
@@ -417,8 +423,15 @@ def to_device(g: HostGraph, max_entry_points: int = 32) -> DeviceGraph:
     eps = np.full(max_entry_points, -1, dtype=np.int32)
     k = min(len(g.entry_slots), max_entry_points)
     eps[:k] = np.asarray(g.entry_slots[:k], dtype=np.int32)
+    import os as _os
+
+    vecs = g.vectors
+    if not g.metric.is_packed and _os.environ.get("HANNOY_TPU_BF16") == "1":
+        vectors_dev = jnp.asarray(vecs).astype(jnp.bfloat16)
+    else:
+        vectors_dev = jnp.asarray(vecs)
     return DeviceGraph(
-        vectors=jnp.asarray(g.vectors),
+        vectors=vectors_dev,
         norms=jnp.asarray(g.norms),
         links0=jnp.asarray(g.links0),
         dists0=jnp.asarray(g.dists0),

@@ -41,7 +41,11 @@ def pallas_enabled() -> bool:
     return os.environ.get("HANNOY_TPU_PALLAS", "0") == "1"
 
 
-def supports(metric: distances.Metric, d_star: int) -> bool:
+def supports(metric: distances.Metric, d_star: int, dtype=None) -> bool:
+    import jax.numpy as _jnp
+
+    if dtype is not None and dtype != _jnp.float32:
+        return False
     return (not metric.is_packed) and d_star % 128 == 0
 
 
@@ -139,7 +143,7 @@ def gathered_distances_pallas(
     """Drop-in fused equivalent of
     ``distances.gathered_distances(metric, q, qn, vectors[idx], norms[idx])``.
     Falls back to the XLA path when the layout is unsupported."""
-    if not supports(metric, vectors.shape[1]):
+    if not supports(metric, vectors.shape[1], vectors.dtype):
         safe = jnp.maximum(idx, 0)
         return distances.gathered_distances(metric, q, qn, vectors[safe], norms[safe])
     raw = fused_gather_reduce(metric.name, vectors, q, idx)

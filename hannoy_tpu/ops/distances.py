@@ -167,18 +167,26 @@ def gathered_distances(
     This is the TPU replacement of the per-pair ``D::distance`` call in the
     beam-search hot loop (reference hnsw.rs:503, reader.rs:346-348): one
     fused VPU pass per hop instead of pointer-chasing SIMD calls.
+
+    Rows may arrive as bfloat16 (the opt-in HBM storage dtype — halves the
+    gather bandwidth of the hot loop): dot metrics run the MXU's native
+    bf16×bf16→f32; the subtractive metrics upcast after the gather so the
+    cancellation-sensitive arithmetic stays f32.
     """
     name = metric.name
+    bf16 = c.dtype == jnp.bfloat16
     if name == "cosine":
-        dots = jnp.einsum("bd,bkd->bk", q, c, preferred_element_type=jnp.float32, precision=MATMUL_PRECISION)
+        qq = q.astype(c.dtype)
+        prec = None if bf16 else MATMUL_PRECISION
+        dots = jnp.einsum("bd,bkd->bk", qq, c, preferred_element_type=jnp.float32, precision=prec)
         denom = q_norm[:, None] * c_norm
         cos = jnp.clip(dots / jnp.maximum(denom, _EPS), -1.0, 1.0)
         return jnp.where(denom > _EPS, (1.0 - cos) * 0.5, 0.0)
     if name == "euclidean":
-        diff = q[:, None, :] - c
+        diff = q[:, None, :] - c.astype(jnp.float32)
         return jnp.einsum("bkd,bkd->bk", diff, diff, preferred_element_type=jnp.float32, precision=MATMUL_PRECISION)
     if name == "manhattan":
-        return jnp.sum(jnp.abs(q[:, None, :] - c), axis=-1)
+        return jnp.sum(jnp.abs(q[:, None, :] - c.astype(jnp.float32)), axis=-1)
     # packed codecs: uint32 lanes
     pc = jnp.sum(jax.lax.population_count(q[:, None, :] ^ c).astype(jnp.int32), axis=-1)
     d_pad = q.shape[-1] * codecs.LANE_BITS
@@ -201,18 +209,20 @@ def matrix_distances(
     used where throughput matters.
     """
     name = metric.name
+    bf16 = db.dtype == jnp.bfloat16
+    prec = None if bf16 else MATMUL_PRECISION
     if name == "cosine":
-        dots = jnp.einsum("bd,nd->bn", q, db, preferred_element_type=jnp.float32, precision=MATMUL_PRECISION)
+        dots = jnp.einsum("bd,nd->bn", q.astype(db.dtype), db, preferred_element_type=jnp.float32, precision=prec)
         denom = q_norm[:, None] * db_norm[None, :]
         cos = jnp.clip(dots / jnp.maximum(denom, _EPS), -1.0, 1.0)
         return jnp.where(denom > _EPS, (1.0 - cos) * 0.5, 0.0)
     if name == "euclidean":
-        dots = jnp.einsum("bd,nd->bn", q, db, preferred_element_type=jnp.float32, precision=MATMUL_PRECISION)
+        dots = jnp.einsum("bd,nd->bn", q.astype(db.dtype), db, preferred_element_type=jnp.float32, precision=prec)
         q2 = jnp.einsum("bd,bd->b", q, q, preferred_element_type=jnp.float32, precision=MATMUL_PRECISION)
-        n2 = jnp.einsum("nd,nd->n", db, db, preferred_element_type=jnp.float32, precision=MATMUL_PRECISION)
+        n2 = jnp.einsum("nd,nd->n", db.astype(jnp.float32), db.astype(jnp.float32), preferred_element_type=jnp.float32, precision=prec)
         return jnp.maximum(q2[:, None] + n2[None, :] - 2.0 * dots, 0.0)
     if name == "manhattan":
-        return jnp.sum(jnp.abs(q[:, None, :] - db[None, :, :]), axis=-1)
+        return jnp.sum(jnp.abs(q[:, None, :] - db[None, :, :].astype(jnp.float32)), axis=-1)
     pc = jnp.sum(
         jax.lax.population_count(q[:, None, :] ^ db[None, :, :]).astype(jnp.int32), axis=-1
     )

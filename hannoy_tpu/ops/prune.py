@@ -32,10 +32,12 @@ def pairwise_block(
 ) -> jax.Array:
     """All-pairs distances within each row's candidate set → [B, K, K]."""
     name = metric.name
+    bf16 = vecs.dtype == jnp.bfloat16
+    prec = None if bf16 else distances.MATMUL_PRECISION
     if name == "cosine":
         dots = jnp.einsum(
             "bkd,bld->bkl", vecs, vecs, preferred_element_type=jnp.float32,
-            precision=distances.MATMUL_PRECISION,
+            precision=prec,
         )
         denom = norms[:, :, None] * norms[:, None, :]
         cos = jnp.clip(dots / jnp.maximum(denom, 1.1920929e-07), -1.0, 1.0)
@@ -44,15 +46,18 @@ def pairwise_block(
         # norm expansion: |a|²+|b|²-2ab — ranking-equivalent, MXU-friendly
         dots = jnp.einsum(
             "bkd,bld->bkl", vecs, vecs, preferred_element_type=jnp.float32,
-            precision=distances.MATMUL_PRECISION,
+            precision=prec,
         )
         sq = jnp.einsum(
             "bkd,bkd->bk", vecs, vecs, preferred_element_type=jnp.float32,
-            precision=distances.MATMUL_PRECISION,
+            precision=prec,
         )
         return jnp.maximum(sq[:, :, None] + sq[:, None, :] - 2.0 * dots, 0.0)
     if name == "manhattan":
-        return jnp.sum(jnp.abs(vecs[:, :, None, :] - vecs[:, None, :, :]), axis=-1)
+        return jnp.sum(
+            jnp.abs(vecs[:, :, None, :].astype(jnp.float32) - vecs[:, None, :, :].astype(jnp.float32)),
+            axis=-1,
+        )
     pc = jnp.sum(
         jax.lax.population_count(vecs[:, :, None, :] ^ vecs[:, None, :, :]).astype(jnp.int32),
         axis=-1,

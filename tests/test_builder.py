@@ -209,3 +209,17 @@ def test_snapshot_structure(rng):
     # every node has at least one link at layer 0 on a 12-item graph
     for s in np.nonzero(g.valid_mask())[0]:
         assert len(g.links_of(int(s), 0)) > 0
+
+
+def test_bf16_storage_recall(rng, monkeypatch):
+    """Opt-in bfloat16 HBM storage keeps recall (HANNOY_TPU_BF16=1)."""
+    monkeypatch.setenv("HANNOY_TPU_BF16", "1")
+    n, d, k = 1000, 32, 10
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    g, slots = stage(COSINE, data, np.arange(n), m=8, m0=16)
+    build_graph(g, slots, np.empty(0, dtype=np.int64), BuildOptions(ef_construction=48, wave_size=128))
+    g.check_validity()
+    dev = to_device(g)
+    assert dev.vectors.dtype == jnp.bfloat16
+    rec = search_recall(g, rng.standard_normal((16, d)).astype(np.float32), k, 100, COSINE)
+    assert rec >= 0.85, f"bf16 recall {rec}"
