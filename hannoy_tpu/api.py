@@ -224,6 +224,12 @@ class HannoyBuilder:
         self._opts.wave_size = w
         return self
 
+    def available_memory(self, nbytes: int) -> "HannoyBuilder":
+        """Accepted for API parity; the reference carries this option but
+        never consumes it either (writer.rs:61-65 comments it out of the
+        public surface, BuildOption.available_memory stays None)."""
+        return self
+
     def build(self, m: Optional[int] = None, m0: Optional[int] = None) -> BuildStats:
         return self._writer._build(self._opts, m=m, m0=m0)
 
