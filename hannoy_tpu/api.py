@@ -58,7 +58,6 @@ from .store.schema import (
     decode_update_status,
     decode_version,
     encode_item,
-    encode_links,
     encode_update_status,
     encode_version,
 )

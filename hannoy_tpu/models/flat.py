@@ -13,7 +13,6 @@ this is also the framework's recall oracle for tests and benches.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

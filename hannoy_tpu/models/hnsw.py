@@ -23,16 +23,14 @@ builds — the analogue of the reference's ``ScoredLink`` (hnsw.rs:30) kept in
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..errors import MissingKey
 from ..ops import codecs, distances
 from ..store.env import Database, RoTxn, RwTxn
-from ..store.schema import Key, Prefix, decode_links, encode_links
+from ..store.schema import Key, encode_links
 
 INVALID_ID = np.uint32(0xFFFFFFFF)
 
@@ -327,11 +325,10 @@ class HostGraph:
                     assert nb_lvl >= level, f"slot {slot} links {nb} below its level"
         for ep in self.entry_slots:
             assert ep in live, f"entry slot {ep} is dead"
-            assert int(self.levels[ep]) >= self.max_level
-        for l in range(len(self.slot_rows)):
-            rows = self.slot_rows[l]
+            assert int(self.levels[ep]) >= self.max_level, "entry point below top layer"
+        for l, rows in enumerate(self.slot_rows):
             for slot in np.nonzero(rows >= 0)[0]:
-                assert valid[slot] or rows[slot] < 0 or True  # released handled above
+                assert valid[slot], f"dead slot {slot} still owns a layer-{l + 1} row"
         if live:
             assert self.entry_slots, "non-empty graph must have entry points"
 
@@ -405,9 +402,9 @@ def to_device(g: HostGraph, max_entry_points: int = 32) -> DeviceGraph:
     MXU's native bf16 path (see ops.distances). The host/store copy stays
     f32, so persisted data is unaffected.
     """
-    n_layers = len(self_layers := g.upper_links)
+    n_layers = len(g.upper_links)
     if n_layers:
-        u_pad = max(a.shape[0] for a in self_layers)
+        u_pad = max(a.shape[0] for a in g.upper_links)
         up = np.full((n_layers, u_pad, g.m), -1, dtype=np.int32)
         ud = np.full((n_layers, u_pad, g.m), np.inf, dtype=np.float32)
         sr = np.full((n_layers, g.capacity), -1, dtype=np.int32)

@@ -27,7 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.hnsw import INVALID_ID, DeviceGraph, HostGraph, to_device
 from ..ops import beam, codecs, distances
-from ..ops.topk import INF, NO_ID
+from ..ops.topk import INF
 from .mesh import SHARD_AXIS, make_mesh
 
 
