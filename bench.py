@@ -46,7 +46,7 @@ def main() -> None:
     n_queries = int(os.environ.get("HANNOY_BENCH_Q", 256))
     ef_sweep = [int(x) for x in os.environ.get("HANNOY_BENCH_EF", "50,100,200").split(",")]
     m, m0 = 16, 32
-    efc = int(os.environ.get("HANNOY_BENCH_EFC", 48))
+    efc = int(os.environ.get("HANNOY_BENCH_EFC", 48 if n <= 200_000 else 96))
     wave = int(os.environ.get("HANNOY_BENCH_WAVE", 4096))
 
     metric = distances.COSINE

@@ -5,6 +5,7 @@ from .sharded import (
     partition_round_robin,
     sharded_insert_wave,
 )
+from .sharded_api import ShardedReader, ShardedWriter, shard_of
 
 __all__ = [
     "SHARD_AXIS",
@@ -15,4 +16,7 @@ __all__ = [
     "build_sharded",
     "partition_round_robin",
     "sharded_insert_wave",
+    "ShardedReader",
+    "ShardedWriter",
+    "shard_of",
 ]

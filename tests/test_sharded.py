@@ -60,3 +60,35 @@ def test_sharded_insert_wave_executes(mesh, rng):
     wave = np.full((8, 8), -1, dtype=np.int32)
     out = sharded_insert_wave(idx, wave, ef=32, cap=16)
     assert out.arrays["links0"].shape == idx.ids.shape + (16,)
+
+
+def test_store_backed_sharded_deployment(tmp_path, mesh, rng):
+    """Durable sharded index: per-shard store indexes + SPMD fan-out search
+    + incremental delete (the Deep-10M configuration at toy scale)."""
+    from hannoy_tpu import Database, Metric
+    from hannoy_tpu.parallel import ShardedReader, ShardedWriter
+
+    n, d = 600, 16
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    db = Database(tmp_path / "sharded", Metric.EUCLIDEAN)
+    with ShardedWriter(db, d, n_shards=8, m=8, ef=48) as w:
+        w.add_items(range(n), data)
+
+    reader = ShardedReader(db, n_shards=8, mesh=mesh)
+    reader.assert_validity()
+    assert reader.n_items() == n
+    got = reader.search(data[:6], n=3, ef_search=48)
+    for i, row in enumerate(got):
+        assert row[0][0] == i and row[0][1] < 1e-5
+
+    # incremental: delete a handful, rebuild touched shards, reopen
+    w2 = ShardedWriter(db, d, n_shards=8, m=8, ef=48)
+    for i in range(16):
+        assert w2.del_item(i)
+    w2.build()
+    db.commit_rw_txn()
+    r2 = ShardedReader(db, n_shards=8, mesh=mesh)
+    r2.assert_validity()
+    assert r2.n_items() == n - 16
+    got = r2.search(data[3], n=5, ef_search=48)
+    assert all(i >= 16 for i, _ in got[0])
