@@ -200,6 +200,7 @@ def beam_search(
     max_iters: Optional[int] = None,
     node_ok: Optional[jax.Array] = None,
     level: int = 0,
+    expand: int = 1,
 ) -> BeamResult:
     """Unfiltered beam search at ``level`` (hnsw.rs walk_layer semantics;
     builders run it per layer, searches at layer 0).
@@ -209,10 +210,15 @@ def beam_search(
     points scheduled for (re)insertion stay seedable before their wave —
     the reference reads any item's vector from LMDB during the build
     (hnsw.rs:474-481) and only deleted items vanish (hnsw.rs:498-501).
+
+    ``expand``: pool entries expanded per iteration (default 1, matching
+    the reference's pop-one-per-hop). E>1 trades ~E× fewer loop iterations
+    for E× more neighbor gathers per iteration — measured net-negative on
+    v5e where the row gather dominates the hop, so it stays a tuning knob.
     """
     metric = g.metric
     if max_iters is None:
-        max_iters = 2 * ef + 16
+        max_iters = (2 * ef + 16 + expand - 1) // expand
     B = q.shape[0]
 
     if node_ok is None:
@@ -231,29 +237,35 @@ def beam_search(
     pool_d, (pool_id, pool_exp) = topk.merge_sorted(
         pool_d, (pool_id, pool_exp), d, (seeds, jnp.zeros_like(seeds)), ef
     )
+    E = min(expand, ef)
 
     def body(state):
         pool_d, pool_id, pool_exp, it = state
         unexp_d = jnp.where((pool_exp == 0) & (pool_id != NO_ID), pool_d, INF)
-        best_pos = jnp.argmin(unexp_d, axis=-1)  # [B]
-        best_d = jnp.take_along_axis(unexp_d, best_pos[:, None], axis=-1)[:, 0]
+        neg, pos = jax.lax.top_k(-unexp_d, E)  # [B, E] best unexpanded
+        exp_d = -neg
         worst = pool_d[:, -1]
-        active = best_d <= worst  # reference: break when f > f_max
-        active &= best_d < INF
+        # per-entry activity: the reference stops once the best candidate
+        # exceeds the pool's worst (hnsw.rs:483-487); extra expansion slots
+        # participate only while they also pass the bound
+        active_e = (exp_d <= worst[:, None]) & (exp_d < INF)
 
-        # mark expanded (frozen for inactive queries)
-        mark = jax.nn.one_hot(best_pos, ef, dtype=pool_exp.dtype) * active[:, None].astype(
-            pool_exp.dtype
-        )
+        # mark the active expansion slots expanded
+        mark = jnp.zeros_like(pool_exp)
+        safe_pos = jnp.where(active_e, pos, ef)  # OOB → dropped
+        mark = mark.at[
+            jnp.arange(B, dtype=jnp.int32)[:, None].repeat(E, 1), safe_pos
+        ].set(1, mode="drop")
         pool_exp = jnp.maximum(pool_exp, mark)
 
-        cur = jnp.take_along_axis(pool_id, best_pos[:, None], axis=-1)[:, 0]
-        nbs = links_at(g, level, cur)  # [B, M0 or M]
+        cur = jnp.take_along_axis(pool_id, jnp.minimum(pos, ef - 1), axis=-1)  # [B, E]
+        cur = jnp.where(active_e, cur, NO_ID)
+        nbs = links_at(g, level, cur.reshape(-1)).reshape(B, -1)  # [B, E*M]
         ok = (
             (nbs >= 0)
-            & active[:, None]
             & node_ok[jnp.maximum(nbs, 0)]
             & ~topk.contains(nbs, pool_id)
+            & topk.unique_mask(nbs)  # expansions may share neighbors
         )
         nd = candidate_distances(g, q, qn, nbs)
         nd = jnp.where(ok, nd, INF)
