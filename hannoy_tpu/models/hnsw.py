@@ -258,13 +258,38 @@ class HostGraph:
             metadata.m0,
             capacity=slot_capacity(max(n, 1)),
         )
-        for key, val in db.prefix_iter(txn, _Prefix.item(index)):
-            item = _Key.from_bytes(key).item
-            header, vecb = _decode_item(val)
-            s = g.alloc_slot(item)
-            g.vectors[s] = codecs.vector_from_bytes(vecb, metric.codec)
-            g.norms[s] = _struct.unpack("<f", header)[0]
-            g.levels[s] = 0
+        if hasattr(db, "bulk_rows") and n and not getattr(txn, "overlay", None):
+            # native store, clean snapshot: one C call stages every item's
+            # header+vector (value layout: tag u8 ∥ hlen u16 ∥ f32 norm ∥
+            # vector bytes). Dirty write txns fall through to the row loop —
+            # bulk_rows reads the committed generation only.
+            codec = metric.codec
+            vec_bytes = (
+                metadata.dimensions * 4
+                if codec == codecs.F32
+                else codecs.padded_dim(metadata.dimensions, codec) // 8
+            )
+            keys, rows = db.bulk_rows(
+                txn, _Prefix.item(index), skip=3, row_bytes=4 + vec_bytes, cap=n
+            )
+            items = (keys & 0xFFFFFFFF00) >> 8  # u64 key → item field
+            for item in items:
+                g.alloc_slot(int(item))
+            g.norms[: len(keys)] = rows[:, :4].copy().view("<f4")[:, 0]
+            vecs = rows[:, 4:]
+            if codec == codecs.F32:
+                g.vectors[: len(keys)] = vecs.copy().view("<f4")
+            else:
+                g.vectors[: len(keys)] = vecs.copy().view("<u4")
+            g.levels[: len(keys)] = 0
+        else:
+            for key, val in db.prefix_iter(txn, _Prefix.item(index)):
+                item = _Key.from_bytes(key).item
+                header, vecb = _decode_item(val)
+                s = g.alloc_slot(item)
+                g.vectors[s] = codecs.vector_from_bytes(vecb, metric.codec)
+                g.norms[s] = _struct.unpack("<f", header)[0]
+                g.levels[s] = 0
         g.max_level = metadata.max_level
         g.ensure_layers(g.max_level)
         pending: list[tuple[int, int, np.ndarray]] = []
