@@ -49,7 +49,9 @@ def main() -> None:
     efc = int(os.environ.get("HANNOY_BENCH_EFC", 48 if n <= 200_000 else 96))
     wave = int(os.environ.get("HANNOY_BENCH_WAVE", 4096))
 
-    metric = distances.COSINE
+    metric = distances.by_name(
+        os.environ.get("HANNOY_BENCH_METRIC", "cosine").replace("_", " ")
+    )
     rng = np.random.default_rng(42)
     # clustered synthetic data: mixture of gaussians, matching the local
     # structure of real embedding corpora (pure isotropic gaussian 768-d is
@@ -124,7 +126,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"qps_at_recall10_{RECALL_BAR}_cosine_{n}x{d}",
+                "metric": f"qps_at_recall10_{RECALL_BAR}_{metric.name.replace(' ', '-')}_{n}x{d}",
                 "value": round(qps, 1),
                 "unit": "qps",
                 "vs_baseline": round(qps / BASELINE_QPS, 2),
