@@ -24,6 +24,7 @@ see ``native_env.py``). Both persist an identical record format.
 
 from __future__ import annotations
 
+import fcntl
 import io
 import os
 import struct
@@ -219,6 +220,16 @@ class Env:
         self._live_bytes = 0
         self._gen = self._replay()
         self._log = open(self._log_path, "ab")
+        # one owning process per environment: the append-only log has no
+        # cross-process coordination (unlike LMDB's shared-memory locks),
+        # so a second writer would interleave batches and corrupt the tail
+        try:
+            fcntl.flock(self._log.fileno(), fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError as e:
+            self._log.close()
+            raise StoreError(
+                f"store at {self.path} is already open in another process"
+            ) from e
 
     # -- txn management ----------------------------------------------------
     def read_txn(self) -> RoTxn:
@@ -360,6 +371,7 @@ class Env:
         self._log.close()
         os.replace(tmp, self._log_path)
         self._log = open(self._log_path, "ab")
+        fcntl.flock(self._log.fileno(), fcntl.LOCK_EX | fcntl.LOCK_NB)
 
     def close(self) -> None:
         try:

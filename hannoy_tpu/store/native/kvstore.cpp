@@ -35,6 +35,7 @@
 #include <vector>
 
 #include <fcntl.h>
+#include <sys/file.h>
 #include <sys/stat.h>
 #include <unistd.h>
 
@@ -248,6 +249,14 @@ Env* hny_open(const char* dir, uint64_t map_size) {
   }
   env->log = fopen(env->log_path.c_str(), "ab");
   if (!env->log) {
+    delete env;
+    return nullptr;
+  }
+  // one owning process per environment: the append-only log has no
+  // cross-process coordination (unlike LMDB's shared locks); a second
+  // writer would interleave batches and corrupt the tail
+  if (flock(fileno(env->log), LOCK_EX | LOCK_NB) != 0) {
+    fclose(env->log);
     delete env;
     return nullptr;
   }
@@ -474,6 +483,7 @@ int hny_compact(Env* env) {
     return -2;
   }
   env->log = fopen(env->log_path.c_str(), "ab");
+  if (env->log) flock(fileno(env->log), LOCK_EX | LOCK_NB);
   return 0;
 }
 

@@ -210,3 +210,44 @@ def test_native_bulk_rows(tmp_path):
     assert len(keys) == 10
     assert rows[3].tolist() == [3, 3, 3, 3]
     nat.close()
+
+
+def test_single_process_ownership(tmp_path, env_cls):
+    """A second process must not co-own the log (LMDB coordinates via
+    shared locks; our append-only log takes an exclusive flock)."""
+    import subprocess
+    import sys
+
+    path = tmp_path / "db"
+    env = env_cls(path)
+    db = env.create_database(None, None)
+    with env.write_txn() as w:
+        db.put(w, Key.item(0, 1).to_bytes(), b"x")
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from hannoy_tpu.store import %s as E\n"
+        "from hannoy_tpu.errors import StoreError\n"
+        "try:\n"
+        "    E(%r)\n"
+        "    print('OPENED')\n"
+        "except StoreError:\n"
+        "    print('LOCKED')\n"
+    ) % (str(tmp_path / ".." / ".." / ".."), env_cls.__name__, str(path))
+    import os as _os
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    code = code.replace(repr(str(tmp_path / ".." / ".." / "..")), repr(repo))
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True,
+        env={**_os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert "LOCKED" in out.stdout, out.stdout + out.stderr
+    env.close()
+    # after close, a new process can take ownership
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True,
+        env={**_os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert "OPENED" in out.stdout, out.stdout + out.stderr
