@@ -29,12 +29,14 @@ import threading
 from dataclasses import dataclass
 from typing import Callable, Iterator, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .build import builder as _builder
 from .build import wave_ops
 from .errors import (
+    InvalidConfig,
     InvalidItemAppend,
     InvalidVecDimension,
     MissingMetadata,
@@ -119,12 +121,29 @@ def _shared_env(path: str, map_size: int) -> Env:
         return env
 
 
+def _validate_m(m: int, m0: int) -> None:
+    """Metadata persists m/m0 (and max_level) as u8 — reject configs that
+    would overflow after an expensive build rather than at write time."""
+    if not (1 <= m <= 255):
+        raise InvalidConfig(f"m must be in [1, 255], got {m}")
+    if not (m <= m0 <= 255):
+        raise InvalidConfig(f"m0 must be in [m, 255], got m0={m0} (m={m})")
+
+
 @dataclass
 class Searched:
-    """Search result container (reference ``Searched``, reader.rs:36-57)."""
+    """Search result container (reference ``Searched``, reader.rs:36-57).
+
+    ``truncated``: True when the layer-0 beam hit its bounded iteration cap
+    (``max_iters``, default 2*ef+16) before the reference's natural
+    termination condition (best unexpanded > worst pooled). The TPU beam is
+    a fixed-shape ``lax.while_loop`` so the cap is structural; callers can
+    retry with a larger ``ef_search`` if they see it set. Results are still
+    valid nearest-so-far (and the degraded top-up has already run)."""
 
     nns: list[tuple[int, float]]
     did_cancel: bool = False
+    truncated: bool = False
 
     def into_nns(self) -> list[tuple[int, float]]:
         return self.nns
@@ -249,6 +268,9 @@ class Writer:
         m0: int = 32,
         ef_construction: int = 96,
     ):
+        _validate_m(m, m0)
+        if dimensions < 1:
+            raise InvalidConfig(f"dimensions must be >= 1, got {dimensions}")
         self._database = database
         self._index = index
         self._dimensions = dimensions
@@ -594,6 +616,13 @@ class Writer:
         )
 
 
+def _never_cancel() -> bool:
+    """Sentinel cancel closure: searches carrying it skip the chunked
+    (interruptible) beam path and dispatch the whole search as one device
+    program — the lowest-latency route."""
+    return False
+
+
 class QueryBuilder:
     """Search options (reference ``QueryBuilder``, reader.rs:60-261)."""
 
@@ -623,13 +652,13 @@ class QueryBuilder:
         return self
 
     def by_vector(self, vector: Sequence[float]) -> Searched:
-        return self._reader._nns_by_vec(self, np.asarray(vector, dtype=np.float32), lambda: False)
+        return self._reader._nns_by_vec(self, np.asarray(vector, dtype=np.float32), _never_cancel)
 
     def by_vector_with_cancellation(self, vector, cancel_fn) -> Searched:
         return self._reader._nns_by_vec(self, np.asarray(vector, dtype=np.float32), cancel_fn)
 
     def by_item(self, item: int) -> Optional[Searched]:
-        return self._reader._nns_by_item(self, int(item), lambda: False)
+        return self._reader._nns_by_item(self, int(item), _never_cancel)
 
     def by_item_with_cancellation(self, item: int, cancel_fn) -> Optional[Searched]:
         return self._reader._nns_by_item(self, int(item), cancel_fn)
@@ -733,10 +762,40 @@ class Reader:
     def by_vecs(
         self, queries: np.ndarray, n: int = 10, ef_search: int = 200
     ) -> list[list[tuple[int, float]]]:
-        """Batched search — the TPU-native throughput path."""
+        """Batched search — the TPU-native throughput path.
+
+        Runs the same degraded-search completion as the single-query path
+        (reader.rs:771-795): rows whose beam returned fewer than ``n``
+        results (greedy descent trapped on a layer-0-isolated entry point)
+        are topped up with one batched exact scan over unseen slots."""
         q, qn = self._prep_queries(np.asarray(queries, dtype=np.float32))
         res = _beam.hnsw_search(self._dev, q, qn, ef=max(ef_search, n))
-        return self._collect(res, n)
+        out = self._collect(res, n)
+        want = min(n, self.n_items())
+        deficient = [b for b, row in enumerate(out) if len(row) < want]
+        if deficient:
+            masks = np.broadcast_to(
+                np.asarray(self._graph.valid_mask()), (len(deficient), self._graph.capacity)
+            ).copy()
+            for r, b in enumerate(deficient):
+                for item, _ in out[b]:
+                    s = self._graph.id_to_slot.get(int(item))
+                    if s is not None:
+                        masks[r, s] = False
+            k = min(n, self._graph.capacity)
+            d, s = flat_topk(
+                self._metric.name,
+                q[jnp.asarray(np.asarray(deficient))],
+                qn[jnp.asarray(np.asarray(deficient))],
+                self._dev.vectors,
+                self._dev.norms,
+                jnp.asarray(masks),
+                k,
+            )
+            extras = self._collect(_beam.BeamResult(d, s, jnp.int32(0)), n)
+            for r, b in enumerate(deficient):
+                out[b] = sorted(out[b] + extras[r], key=lambda t: t[1])[:n]
+        return out
 
     # -- internals ----------------------------------------------------------
     def _prep_queries(self, queries: np.ndarray):
@@ -835,17 +894,34 @@ class Reader:
         return Searched(self._collect(res, count)[0], False)
 
     def _hnsw_search(self, q, qn, opt: QueryBuilder, cancel_fn) -> Searched:
-        """reader.rs:722-800: descent, layer-0 beam, degraded top-up."""
+        """reader.rs:722-800: descent, layer-0 beam, degraded top-up.
+
+        With a non-trivial ``cancel_fn`` the layer-0 beam runs in bounded
+        iteration chunks with the cancel probed between chunks (reference
+        ``Visitor`` probes per hop, reader.rs:301-369), so a long search is
+        interruptible mid-flight and returns the pool-so-far as partials.
+        """
         ef = max(opt._ef, opt._count)
+        max_iters = 2 * ef + 16
         if cancel_fn():
             return Searched([], True)
-        if opt._candidates is None:
-            res = _beam.hnsw_search(self._dev, q, qn, ef)
-        else:
+        if opt._candidates is not None:
             mask = self._candidate_mask(opt._candidates)
-            res = _beam.hnsw_search_filtered(self._dev, q, qn, jnp.asarray(mask), ef)
-        cancelled = cancel_fn()
-        searched = Searched(self._collect(res, opt._count)[0], bool(cancelled))
+            res = _beam.hnsw_search_filtered(
+                self._dev, q, qn, jnp.asarray(mask), ef, max_iters=max_iters
+            )
+            cancelled = bool(cancel_fn())
+        elif cancel_fn is _never_cancel:
+            res = _beam.hnsw_search(self._dev, q, qn, ef, max_iters=max_iters)
+            cancelled = False
+        else:
+            res, cancelled = _beam.hnsw_search_cancellable(
+                self._dev, q, qn, ef, cancel_fn, max_iters=max_iters
+            )
+        dists, slots, iters = jax.device_get((res.dists, res.slots, res.iters))
+        res = _beam.BeamResult(dists, slots, iters)
+        truncated = int(iters) >= max_iters
+        searched = Searched(self._collect(res, opt._count)[0], cancelled, truncated)
         if cancelled:
             return searched
         return self._top_up(searched, q, qn, opt)
@@ -872,7 +948,7 @@ class Reader:
         )
         extra = self._collect(_beam.BeamResult(d, s, jnp.int32(0)), missing)[0]
         merged = sorted(searched.nns + extra, key=lambda t: t[1])[: opt._count]
-        return Searched(merged, searched.did_cancel)
+        return Searched(merged, searched.did_cancel, searched.truncated)
 
     def assert_validity(self) -> None:
         """Graph invariant checker (reference assert_validity,

@@ -174,7 +174,7 @@ def build_graph(
     for s in deleted_set:
         active[s] = False
 
-    dev = hnsw.to_device(g, max_entry_points=_ep_pad(len(g.entry_slots)))
+    dev = hnsw.to_device(g)
     dev = wave_ops._replace(dev, valid=jnp.asarray(active))
     # beam traversal during the build may seed/visit anything that exists
     # and is not deleted (see wave_ops.wave_insert_level node_ok)
@@ -234,13 +234,6 @@ def build_graph(
     # ---- sync back to host ----
     hnsw.from_device(g, dev)
     return stats
-
-
-def _ep_pad(n: int) -> int:
-    p = 32
-    while p < n:
-        p *= 2
-    return p
 
 
 def _insert_wave(

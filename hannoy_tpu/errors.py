@@ -65,6 +65,20 @@ class BuildCancelled(HannoyError):
         super().__init__("The corresponding build process has been cancelled")
 
 
+class InvalidConfig(HannoyError):
+    """Build/index configuration outside the supported envelope.
+
+    The reference constrains (M, M0) at compile time via const generics and
+    a bindings monomorphization table capped at (32, 64)
+    (src/python.rs:267-282); here m/m0 are runtime values persisted as u8
+    in Metadata, so the bound is validated up front instead of failing at
+    metadata-write time after a full device build.
+    """
+
+    def __init__(self, message: str):
+        super().__init__(message)
+
+
 class InvalidVecDimension(HannoyError):
     """A vector with the wrong dimensionality was supplied.
 

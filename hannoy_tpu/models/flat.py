@@ -28,16 +28,17 @@ def flat_topk(
     qn: jax.Array,  # [B]
     db: jax.Array,  # [N, D*]
     dbn: jax.Array,  # [N]
-    mask: jax.Array,  # [N] bool — candidate/valid slots
+    mask: jax.Array,  # [N] or [B, N] bool — candidate/valid slots
     k: int,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact top-k among masked slots → (dists [B,k], slots [B,k]).
 
-    Masked-out slots return +inf / -1.
+    Masked-out slots return +inf / -1. A 2-D mask filters per query row
+    (used by the batched degraded-search top-up).
     """
     metric = distances.by_name(metric_name)
     d = distances.matrix_distances(metric, q, qn, db, dbn)
-    d = jnp.where(mask[None, :], d, INF)
+    d = jnp.where(mask if mask.ndim == 2 else mask[None, :], d, INF)
     neg, idx = jax.lax.top_k(-d, k)
     dists = -neg
     slots = jnp.where(dists < INF, idx, NO_ID)

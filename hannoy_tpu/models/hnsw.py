@@ -417,7 +417,18 @@ class DeviceGraph:
         return self.links0.shape[1]
 
 
-def to_device(g: HostGraph, max_entry_points: int = 32) -> DeviceGraph:
+def ep_pad(n: int) -> int:
+    """Entry-point array width for ``n`` entry points: power-of-two padded
+    so jit shapes stay bucketed while never truncating seeds — a flat
+    (max_level=0) index keeps *every* top-layer item as an entry point
+    (reference hnsw.rs:278-287) and dropping any silently degrades recall."""
+    p = 32
+    while p < n:
+        p *= 2
+    return p
+
+
+def to_device(g: HostGraph, max_entry_points: int | None = None) -> DeviceGraph:
     """Upload a host graph into HBM arrays (the Reader::open / prefetch
     analogue — reference reader.rs:446-543 madvises pages; we materialise
     the whole index in HBM).
@@ -427,6 +438,8 @@ def to_device(g: HostGraph, max_entry_points: int = 32) -> DeviceGraph:
     MXU's native bf16 path (see ops.distances). The host/store copy stays
     f32, so persisted data is unaffected.
     """
+    if max_entry_points is None:
+        max_entry_points = ep_pad(len(g.entry_slots))
     n_layers = len(g.upper_links)
     if n_layers:
         u_pad = max(a.shape[0] for a in g.upper_links)

@@ -216,18 +216,25 @@ def beam_search(
     for E× more neighbor gathers per iteration — measured net-negative on
     v5e where the row gather dominates the hop, so it stays a tuning knob.
     """
-    metric = g.metric
     if max_iters is None:
         max_iters = (2 * ef + 16 + expand - 1) // expand
-    B = q.shape[0]
-
     if node_ok is None:
         node_ok = g.valid
 
-    # Seed pool
+    pool_d, pool_id, pool_exp = _seed_pool(g, q, qn, start, ef, node_ok)
+    body, cond = _beam_step(g, q, qn, node_ok, ef, min(expand, ef), level, max_iters)
+    pool_d, pool_id, pool_exp, iters = jax.lax.while_loop(
+        cond, body, (pool_d, pool_id, pool_exp, jnp.int32(0))
+    )
+    return BeamResult(pool_d, pool_id, iters)
+
+
+def _seed_pool(g: DeviceGraph, q, qn, start, ef: int, node_ok):
+    """Initialize the sorted (dist, id, expanded) pool from seed slots."""
+    B = q.shape[0]
     seed_ok = (start >= 0) & node_ok[jnp.maximum(start, 0)]
     seeds = jnp.where(seed_ok, start, NO_ID)
-    d = seed_distances(metric, g.vectors, g.norms, q, qn, seeds)
+    d = seed_distances(g.metric, g.vectors, g.norms, q, qn, seeds)
     d = jnp.where(topk.unique_mask(seeds), d, INF)
     seeds = jnp.where(d < INF, seeds, NO_ID)
 
@@ -237,7 +244,14 @@ def beam_search(
     pool_d, (pool_id, pool_exp) = topk.merge_sorted(
         pool_d, (pool_id, pool_exp), d, (seeds, jnp.zeros_like(seeds)), ef
     )
-    E = min(expand, ef)
+    return pool_d, pool_id, pool_exp
+
+
+def _beam_step(g: DeviceGraph, q, qn, node_ok, ef: int, E: int, level, max_iters: int):
+    """(body, cond) for the beam while_loop over state
+    (pool_d, pool_id, pool_exp, it) — shared between the one-shot search
+    and the chunked/cancellable runner."""
+    B = q.shape[0]
 
     def body(state):
         pool_d, pool_id, pool_exp, it = state
@@ -283,10 +297,7 @@ def beam_search(
         active = (best_d <= pool_d[:, -1]) & (best_d < INF)
         return jnp.any(active) & (it < max_iters)
 
-    pool_d, pool_id, pool_exp, iters = jax.lax.while_loop(
-        cond, body, (pool_d, pool_id, pool_exp, jnp.int32(0))
-    )
-    return BeamResult(pool_d, pool_id, iters)
+    return body, cond
 
 
 def beam_search_filtered(
@@ -396,6 +407,83 @@ def hnsw_search(
             g.entry_slots[None, :], (q.shape[0], g.entry_slots.shape[0])
         )
     return beam_search(g, q, qn, start, ef, max_iters)
+
+
+@partial(jax.jit, static_argnames=("ef",))
+def _descend_and_seed(g: DeviceGraph, q: jax.Array, qn: jax.Array, ef: int):
+    """Greedy descent → initial layer-0 beam pool (the resumable carry)."""
+    if g.max_level >= 1:
+        start = greedy_descend(g, q, qn, g.max_level, 1)[:, None]
+    else:
+        start = jnp.broadcast_to(
+            g.entry_slots[None, :], (q.shape[0], g.entry_slots.shape[0])
+        )
+    return _seed_pool(g, q, qn, start, ef, g.valid)
+
+
+@partial(jax.jit, static_argnames=("ef", "chunk"))
+def _beam_chunk(
+    g: DeviceGraph,
+    q: jax.Array,
+    qn: jax.Array,
+    pool_d: jax.Array,
+    pool_id: jax.Array,
+    pool_exp: jax.Array,
+    ef: int,
+    chunk: int,
+):
+    """Run at most ``chunk`` beam iterations from a saved pool.
+
+    Returns (pool..., iters_done, still_active) — the host polls cancel
+    between chunks (reference Visitor probes cancel_fn per hop,
+    reader.rs:301-369; a chunk is the TPU-granular 'hop')."""
+    body, cond = _beam_step(g, q, qn, g.valid, ef, 1, 0, chunk)
+    pool_d, pool_id, pool_exp, it = jax.lax.while_loop(
+        cond, body, (pool_d, pool_id, pool_exp, jnp.int32(0))
+    )
+    unexp_d = jnp.where((pool_exp == 0) & (pool_id != NO_ID), pool_d, INF)
+    best_d = jnp.min(unexp_d, axis=-1)
+    active = jnp.any((best_d <= pool_d[:, -1]) & (best_d < INF))
+    return pool_d, pool_id, pool_exp, it, active
+
+
+def hnsw_search_cancellable(
+    g: DeviceGraph,
+    q: jax.Array,
+    qn: jax.Array,
+    ef: int,
+    cancel_fn,
+    max_iters: Optional[int] = None,
+    chunk: int = 16,
+) -> tuple[BeamResult, bool]:
+    """hnsw_search with mid-flight cooperative cancellation.
+
+    The layer-0 beam runs in fixed-iteration chunks; ``cancel_fn`` is
+    polled between device dispatches and a firing cancel returns the
+    pool-so-far as non-empty partial results with did_cancel=True —
+    the ``Completion::Cancelled`` analogue (reference reader.rs:263-280).
+    """
+    if max_iters is None:
+        max_iters = 2 * ef + 16
+    if cancel_fn():
+        B = q.shape[0]
+        empty = BeamResult(
+            jnp.full((B, ef), INF), jnp.full((B, ef), NO_ID, dtype=jnp.int32), jnp.int32(0)
+        )
+        return empty, True
+    pool_d, pool_id, pool_exp = _descend_and_seed(g, q, qn, ef)
+    total = 0
+    while total < max_iters:
+        if cancel_fn():
+            return BeamResult(pool_d, pool_id, jnp.int32(total)), True
+        step = min(chunk, max_iters - total)
+        pool_d, pool_id, pool_exp, it, active = _beam_chunk(
+            g, q, qn, pool_d, pool_id, pool_exp, ef, step
+        )
+        total += int(it)
+        if not bool(active):
+            break
+    return BeamResult(pool_d, pool_id, jnp.int32(total)), bool(cancel_fn())
 
 
 @partial(jax.jit, static_argnames=("ef", "max_iters"))

@@ -104,7 +104,14 @@ class ShardedIndex:
         return cls(mesh, stacked, ids, graphs[0].metric.name, max_level)
 
     def search(self, queries: np.ndarray, k: int, ef: int) -> tuple[np.ndarray, np.ndarray]:
-        """Fan-out search → (global item ids [B, k], dists [B, k])."""
+        """Fan-out search → (global item ids [B, k], dists [B, k]).
+
+        Runs the degraded-search completion of the single-chip path
+        (reference reader.rs:771-795): query rows whose merged beam results
+        came back short (a shard's greedy descent trapped) are re-answered
+        exactly with one sharded flat scan — the exact result strictly
+        dominates the partial beam result, so it replaces the row.
+        """
         metric = distances.by_name(self.metric_name)
         packed = codecs.pack(np.atleast_2d(np.asarray(queries, np.float32)), metric.codec)
         norms = distances.np_norms(metric, packed)
@@ -113,7 +120,24 @@ class ShardedIndex:
         ids, d = _sharded_search(
             self.mesh, self.metric_name, self.max_level, self.arrays, self.ids, q, qn, k=k, ef=ef
         )
-        return np.asarray(ids), np.asarray(d)
+        ids, d = np.array(ids), np.array(d)  # copies: rows mutated below
+        n_items = int(np.asarray((self.ids != np.uint32(INVALID_ID)).sum()))
+        want = min(k, n_items)
+        found = (ids != np.uint32(INVALID_ID)).sum(axis=1)
+        deficient = np.nonzero(found < want)[0]
+        if len(deficient):
+            f_ids, f_d = _sharded_flat(
+                self.mesh,
+                self.metric_name,
+                self.arrays,
+                self.ids,
+                q[jnp.asarray(deficient)],
+                qn[jnp.asarray(deficient)],
+                k=k,
+            )
+            ids[deficient] = np.asarray(f_ids)
+            d[deficient] = np.asarray(f_d)
+        return ids, d
 
 
 @partial(jax.jit, static_argnames=("mesh", "metric_name", "max_level", "k", "ef"))
@@ -155,6 +179,52 @@ def _sharded_search(
         out_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
     )(arrays, ids, q, qn)
     # every shard produced the same merged result; take shard 0's copy
+    return out_ids[0], out_d[0]
+
+
+@partial(jax.jit, static_argnames=("mesh", "metric_name", "k"))
+def _sharded_flat(
+    mesh: Mesh,
+    metric_name: str,
+    arrays: dict,
+    ids: jax.Array,
+    q: jax.Array,
+    qn: jax.Array,
+    k: int,
+):
+    """Exact sharded top-k: per-shard flat scan + all_gather merge — the
+    distributed brute_force_search (reader.rs:668-711) and the fallback
+    that completes degraded sharded beams."""
+    metric = distances.by_name(metric_name)
+    spec_arrays = {name: P(SHARD_AXIS) for name in arrays}
+
+    def per_shard(arrays, ids_local, q, qn):
+        vecs, nrm, valid = arrays["vectors"][0], arrays["norms"][0], arrays["valid"][0]
+        d = distances.matrix_distances(metric, q, qn, vecs, nrm)
+        d = jnp.where(valid[None, :], d, INF)
+        neg, pos = jax.lax.top_k(-d, min(k, d.shape[1]))
+        top_d = -neg
+        if top_d.shape[1] < k:
+            pad = k - top_d.shape[1]
+            top_d = jnp.pad(top_d, ((0, 0), (0, pad)), constant_values=INF)
+            pos = jnp.pad(pos, ((0, 0), (0, pad)))
+        gids = ids_local[0][jnp.maximum(pos, 0)]
+        gids = jnp.where(jnp.isfinite(top_d), gids, jnp.uint32(INVALID_ID))
+        all_d = jax.lax.all_gather(top_d, SHARD_AXIS, axis=0)  # [S, B, k]
+        all_ids = jax.lax.all_gather(gids, SHARD_AXIS, axis=0)
+        S = all_d.shape[0]
+        flat_d = jnp.swapaxes(all_d, 0, 1).reshape(q.shape[0], S * k)
+        flat_i = jnp.swapaxes(all_ids, 0, 1).reshape(q.shape[0], S * k)
+        neg, best = jax.lax.top_k(-flat_d, k)
+        merged_i = jnp.take_along_axis(flat_i, best, axis=-1)
+        return merged_i[None], (-neg)[None]
+
+    out_ids, out_d = _shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(spec_arrays, P(SHARD_AXIS), P(), P()),
+        out_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
+    )(arrays, ids, q, qn)
     return out_ids[0], out_d[0]
 
 

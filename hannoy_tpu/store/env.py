@@ -196,6 +196,16 @@ class Database:
             raise DatabaseFull()
         txn._table_overlay(self.name)[key] = value
 
+    def put_many(self, txn: RwTxn, keys: list[bytes], values: list[bytes]) -> None:
+        """Batched put (API parity with the native backend's single-call
+        path; here the overlay dict is the batch)."""
+        ov = txn._table_overlay(self.name)
+        for k, v in zip(keys, values):
+            txn._bytes_written += len(k) + len(v) + 16
+            ov[k] = v
+        if txn._bytes_written + self._env._live_bytes > self._env.map_size:
+            raise DatabaseFull()
+
     def delete(self, txn: RwTxn, key: bytes) -> bool:
         existed = self.get(txn, key) is not None
         txn._table_overlay(self.name)[key] = None
@@ -218,18 +228,21 @@ class Env:
         self._write_lock = threading.Lock()
         self._writer: Optional[RwTxn] = None
         self._live_bytes = 0
-        self._gen = self._replay()
-        self._log = open(self._log_path, "ab")
         # one owning process per environment: the append-only log has no
         # cross-process coordination (unlike LMDB's shared-memory locks),
-        # so a second writer would interleave batches and corrupt the tail
+        # so a second writer would interleave batches and corrupt the tail.
+        # The lock lives on a sidecar file so compaction's atomic rename of
+        # the log can never drop exclusivity (same file the C++ backend locks).
+        self._lock_file = open(os.path.join(self.path, "hannoy.lock"), "ab")
         try:
-            fcntl.flock(self._log.fileno(), fcntl.LOCK_EX | fcntl.LOCK_NB)
+            fcntl.flock(self._lock_file.fileno(), fcntl.LOCK_EX | fcntl.LOCK_NB)
         except OSError as e:
-            self._log.close()
+            self._lock_file.close()
             raise StoreError(
                 f"store at {self.path} is already open in another process"
             ) from e
+        self._gen = self._replay()
+        self._log = open(self._log_path, "ab")
 
     # -- txn management ----------------------------------------------------
     def read_txn(self) -> RoTxn:
@@ -248,9 +261,20 @@ class Env:
     def _commit(self, txn: RwTxn) -> None:
         try:
             batch = self._serialize_batch(txn.overlay)
-            self._log.write(batch)
-            self._log.flush()
-            os.fsync(self._log.fileno())
+            pre = self._log.seek(0, os.SEEK_END)
+            try:
+                self._log.write(batch)
+                self._log.flush()
+                os.fsync(self._log.fileno())
+            except OSError:
+                # roll the log back to the pre-batch offset so torn bytes
+                # can't poison replay of later successful commits
+                try:
+                    self._log.truncate(pre)
+                    self._log.seek(0, os.SEEK_END)
+                except OSError:
+                    pass
+                raise
 
             new_tables = {n: dict(t) for n, t in self._gen.tables.items()}
             for name, ov in txn.overlay.items():
@@ -369,12 +393,16 @@ class Env:
             f.flush()
             os.fsync(f.fileno())
         self._log.close()
+        # exclusivity is held by the sidecar lock throughout the rename
         os.replace(tmp, self._log_path)
         self._log = open(self._log_path, "ab")
-        fcntl.flock(self._log.fileno(), fcntl.LOCK_EX | fcntl.LOCK_NB)
 
     def close(self) -> None:
         try:
             self._log.close()
+        except Exception:
+            pass
+        try:
+            self._lock_file.close()
         except Exception:
             pass

@@ -86,6 +86,7 @@ struct Overlay {
 struct Env {
   std::string log_path;
   FILE* log = nullptr;
+  int lock_fd = -1;  // sidecar hannoy.lock, held for the env's lifetime
   uint64_t map_size = 0;
   std::atomic<uint64_t> live_bytes{0};
   GenPtr gen;
@@ -247,16 +248,21 @@ Env* hny_open(const char* dir, uint64_t map_size) {
     delete env;
     return nullptr;
   }
-  env->log = fopen(env->log_path.c_str(), "ab");
-  if (!env->log) {
+  // one owning process per environment: the append-only log has no
+  // cross-process coordination (unlike LMDB's shared locks); a second
+  // writer would interleave batches and corrupt the tail. The lock lives
+  // on a sidecar file (not the log fd) so compaction's rename of the log
+  // can never drop the exclusivity guarantee.
+  std::string lock_path = d + "/hannoy.lock";
+  env->lock_fd = ::open(lock_path.c_str(), O_CREAT | O_RDWR, 0644);
+  if (env->lock_fd < 0 || flock(env->lock_fd, LOCK_EX | LOCK_NB) != 0) {
+    if (env->lock_fd >= 0) ::close(env->lock_fd);
     delete env;
     return nullptr;
   }
-  // one owning process per environment: the append-only log has no
-  // cross-process coordination (unlike LMDB's shared locks); a second
-  // writer would interleave batches and corrupt the tail
-  if (flock(fileno(env->log), LOCK_EX | LOCK_NB) != 0) {
-    fclose(env->log);
+  env->log = fopen(env->log_path.c_str(), "ab");
+  if (!env->log) {
+    ::close(env->lock_fd);
     delete env;
     return nullptr;
   }
@@ -266,6 +272,7 @@ Env* hny_open(const char* dir, uint64_t map_size) {
 void hny_close(Env* env) {
   if (!env) return;
   if (env->log) fclose(env->log);
+  if (env->lock_fd >= 0) ::close(env->lock_fd);
   delete env;
 }
 
@@ -304,6 +311,28 @@ int hny_put(Txn* t, const char* name, const uint8_t* key, const uint8_t* val,
   t->overlay->bytes += 24 + vlen;
   if (t->overlay->bytes + t->env->live_bytes.load() > t->env->map_size) return -1;
   (*t->overlay).tables[name][k] = {true, std::string((const char*)val, vlen)};
+  return 0;
+}
+
+// Batched put: n records with 8-byte keys packed in `keys` and values
+// concatenated in `vals` at offsets `val_offs` (n+1 entries, bytes).
+// One C call replaces n ctypes round trips — the link-flush hot path.
+// returns 0 ok, -1 full.
+int hny_put_many(Txn* t, const char* name, const uint8_t* keys,
+                 const uint8_t* vals, const uint64_t* val_offs, int64_t n) {
+  auto& table = t->overlay->tables[name];
+  uint64_t bytes = t->overlay->bytes;
+  for (int64_t i = 0; i < n; i++) {
+    uint64_t len = val_offs[i + 1] - val_offs[i];
+    bytes += 24 + len;
+  }
+  if (bytes + t->env->live_bytes.load() > t->env->map_size) return -1;
+  t->overlay->bytes = bytes;
+  for (int64_t i = 0; i < n; i++) {
+    uint64_t k = key_to_u64(keys + i * 8);
+    uint64_t len = val_offs[i + 1] - val_offs[i];
+    table[k] = {true, std::string((const char*)vals + val_offs[i], len)};
+  }
   return 0;
 }
 
@@ -390,13 +419,83 @@ int64_t hny_scan_keys(Txn* t, const char* name, uint64_t lo, uint64_t hi,
   return n;
 }
 
+// Bulk (key, value) range scan: fills up to `cap` entries whose keys fall
+// in [lo, hi), concatenating values into `out_vals` (capacity vals_cap
+// bytes) with per-entry lengths in `out_lens`. Stops early when the next
+// value would overflow vals_cap and sets *more; the caller resumes with
+// lo = last_key + 1. Write transactions see their overlay merged in.
+// Replaces the per-key hny_get round trips of prefix iteration — the
+// journal-scan / graph-load path at 10M rows.
+int64_t hny_scan_vals(Txn* t, const char* name, uint64_t lo, uint64_t hi,
+                      uint64_t* out_keys, uint32_t* out_lens,
+                      uint8_t* out_vals, uint64_t vals_cap, int64_t cap,
+                      int* more) {
+  *more = 0;
+  const Table* table = nullptr;
+  auto gt = t->gen->tables.find(name);
+  if (gt != t->gen->tables.end()) table = &gt->second;
+  const std::map<uint64_t, std::pair<bool, std::string>>* ov = nullptr;
+  if (t->overlay) {
+    auto ot = t->overlay->tables.find(name);
+    if (ot != t->overlay->tables.end()) ov = &ot->second;
+  }
+  size_t gi = 0, gn = 0;
+  if (table) {
+    gi = std::lower_bound(table->keys.begin(), table->keys.end(), lo) -
+         table->keys.begin();
+    gn = std::lower_bound(table->keys.begin(), table->keys.end(), hi) -
+         table->keys.begin();
+  }
+  auto oi = ov ? ov->lower_bound(lo) : std::map<uint64_t, std::pair<bool, std::string>>::const_iterator();
+  int64_t n = 0;
+  uint64_t used = 0;
+  while (true) {
+    bool g_ok = table && gi < gn;
+    bool o_ok = ov && oi != ov->end() && oi->first < hi;
+    if (!g_ok && !o_ok) break;
+    uint64_t key;
+    const std::string* val = nullptr;
+    if (o_ok && (!g_ok || oi->first <= table->keys[gi])) {
+      key = oi->first;
+      if (g_ok && table->keys[gi] == key) gi++;  // overlay shadows base
+      if (oi->second.first) val = &oi->second.second;
+      ++oi;
+      if (!val) continue;  // tombstone
+    } else {
+      key = table->keys[gi];
+      val = &table->values[gi];
+      gi++;
+    }
+    if (n >= cap || used + val->size() > vals_cap) {
+      *more = 1;
+      break;
+    }
+    out_keys[n] = key;
+    out_lens[n] = (uint32_t)val->size();
+    memcpy(out_vals + used, val->data(), val->size());
+    used += val->size();
+    n++;
+  }
+  return n;
+}
+
 // Commit: append batch + fsync, then publish the next generation.
 // returns 0 ok, -2 io error.
 int hny_commit(Txn* t) {
   Env* env = t->env;
   std::string batch = serialize_batch(*t->overlay);
+  // Record the pre-batch offset so a failed append can be rolled back —
+  // torn bytes left mid-log would make replay_log truncate away *later*
+  // successfully-committed batches on the next open.
+  fseek(env->log, 0, SEEK_END);
+  long pre = ftell(env->log);
   if (fwrite(batch.data(), 1, batch.size(), env->log) != batch.size() ||
       fflush(env->log) != 0 || fsync(fileno(env->log)) != 0) {
+    clearerr(env->log);
+    if (pre >= 0 && ftruncate(fileno(env->log), pre) == 0) {
+      fseek(env->log, 0, SEEK_END);
+      fsync(fileno(env->log));
+    }
     env->write_mu.unlock();
     delete t->overlay;
     delete t;
@@ -478,13 +577,14 @@ int hny_compact(Env* env) {
   }
   fclose(f);
   fclose(env->log);
+  // exclusivity is held by the sidecar lock fd throughout — the rename
+  // window cannot admit a second writer
   if (rename(tmp.c_str(), env->log_path.c_str()) != 0) {
     env->log = fopen(env->log_path.c_str(), "ab");
-    return -2;
+    return env->log ? -2 : -3;
   }
   env->log = fopen(env->log_path.c_str(), "ab");
-  if (env->log) flock(fileno(env->log), LOCK_EX | LOCK_NB);
-  return 0;
+  return env->log ? 0 : -3;
 }
 
 // Bulk item staging (hot path for graph loads): scans [lo, hi) and copies

@@ -76,6 +76,17 @@ def load_library():
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64,
         ctypes.c_void_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int),
     ]
+    lib.hny_put_many.restype = ctypes.c_int
+    lib.hny_put_many.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int64,
+    ]
+    lib.hny_scan_vals.restype = ctypes.c_int64
+    lib.hny_scan_vals.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64,
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int),
+    ]
     lib.hny_commit.restype = ctypes.c_int
     lib.hny_commit.argtypes = [ctypes.c_void_p]
     lib.hny_compact.restype = ctypes.c_int
@@ -198,6 +209,26 @@ class NativeDatabase:
             raise StoreError(f"put failed (rc={rc})")
         txn._dirty = True
 
+    def put_many(self, txn: NativeRwTxn, keys: list[bytes], values: list[bytes]) -> None:
+        """Batched put — one C call for n records (the link-flush hot path;
+        replaces n ctypes round trips)."""
+        n = len(keys)
+        if n == 0:
+            return
+        kbuf = b"".join(keys)
+        offs = np.zeros(n + 1, dtype=np.uint64)
+        offs[1:] = np.cumsum(np.fromiter((len(v) for v in values), dtype=np.uint64, count=n))
+        vbuf = b"".join(values)
+        rc = self._env._lib.hny_put_many(
+            txn._ptr, self._bname, kbuf, vbuf,
+            offs.ctypes.data_as(ctypes.c_void_p), n,
+        )
+        if rc == -1:
+            raise DatabaseFull()
+        if rc != 0:
+            raise StoreError(f"put_many failed (rc={rc})")
+        txn._dirty = True
+
     def delete(self, txn: NativeRwTxn, key: bytes) -> bool:
         existed = self._env._lib.hny_del(txn._ptr, self._bname, key)
         txn._dirty = True
@@ -223,11 +254,35 @@ class NativeDatabase:
         return np.concatenate(out) if len(out) > 1 else out[0]
 
     def prefix_iter(self, txn: NativeRoTxn, prefix: bytes) -> Iterator[tuple[bytes, bytes]]:
-        for k in self.scan_keys(txn, prefix):
-            kb = int(k).to_bytes(8, "big")
-            v = self.get(txn, kb)
-            if v is not None:  # deleted between scan+get impossible (snapshot)
-                yield kb, v
+        """Streaming (key, value) range scan in key order — one C call per
+        buffer-full instead of one per key (journal scans at 10M rows)."""
+        lo, hi = _range_from_prefix(prefix)
+        lib = self._env._lib
+        cap = 1 << 14
+        vals_cap = 1 << 22  # 4 MiB of values per C call
+        keys = np.empty(cap, dtype=np.uint64)
+        lens = np.empty(cap, dtype=np.uint32)
+        more = ctypes.c_int(1)
+        while more.value:
+            vbuf = ctypes.create_string_buffer(vals_cap)
+            n = lib.hny_scan_vals(
+                txn._ptr, self._bname, lo, hi,
+                keys.ctypes.data_as(ctypes.c_void_p),
+                lens.ctypes.data_as(ctypes.c_void_p),
+                vbuf, vals_cap, cap, ctypes.byref(more),
+            )
+            if n == 0 and more.value:
+                # one value larger than the buffer: grow and retry
+                vals_cap *= 4
+                continue
+            raw = vbuf.raw
+            off = 0
+            for i in range(n):
+                ln = int(lens[i])
+                yield int(keys[i]).to_bytes(8, "big"), raw[off : off + ln]
+                off += ln
+            if more.value:
+                lo = int(keys[n - 1]) + 1
 
     def len(self, txn: NativeRoTxn) -> int:
         return int(self.scan_keys(txn, b"").size)

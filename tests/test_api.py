@@ -369,3 +369,86 @@ def test_n_nodes(db):
     _fill(db, 30, 8)
     reader = db.reader()
     assert reader.n_nodes() >= 30 + 30 + 2  # items + links rows + md + version
+
+
+def test_invalid_m_config(db):
+    """m/m0 are persisted as u8 in Metadata — reject oversized configs up
+    front instead of failing at metadata-write time after a full build
+    (the reference caps (M, M0) at (32, 64) via its monomorphization
+    table, python.rs:267-282)."""
+    from hannoy_tpu.errors import InvalidConfig
+
+    with pytest.raises(InvalidConfig):
+        db.writer(8, m=128)  # default m0 = 2*m = 256 overflows u8
+    with pytest.raises(InvalidConfig):
+        db.writer(8, m=0)
+    with pytest.raises(InvalidConfig):
+        db.writer(8, m=16, m0=8)  # m0 < m
+    with pytest.raises(InvalidConfig):
+        db.writer(0, m=8)
+
+
+def test_by_vecs_tops_up_small_index(db):
+    """Batched search returns as many results as the single-query path when
+    the graph is tiny/degraded (reference always runs the exhaustive
+    completion, reader.rs:771-795)."""
+    with db.writer(8, m=4, ef=16) as w:
+        for i in range(3):
+            v = np.zeros(8, np.float32)
+            v[i] = 1.0
+            w.add_item(i, v)
+    reader = db.reader()
+    q = np.zeros((2, 8), np.float32)
+    q[0, 0] = 1.0
+    q[1, 1] = 1.0
+    rows = reader.by_vecs(q, n=10)
+    assert all(len(r) == 3 for r in rows)
+    single = reader.nns(10).by_vector(q[0])
+    assert len(single.nns) == 3
+    assert [i for i, _ in rows[0]] == [i for i, _ in single.nns]
+
+
+def test_mid_search_cancellation_partial_results(db, rng):
+    """A cancel firing mid-beam returns non-empty partial results
+    (reference Completion::Cancelled, reader.rs:263-280)."""
+    data = rng.standard_normal((2000, 16)).astype(np.float32)
+    with db.writer(16, m=8, ef=48) as w:
+        w.add_items(range(2000), data)
+    reader = db.reader()
+
+    calls = [0]
+
+    def cancel_after_3():
+        calls[0] += 1
+        return calls[0] > 3
+
+    res = reader.nns(10).ef_search(128).by_vector_with_cancellation(
+        np.asarray(data[0]), cancel_after_3
+    )
+    assert res.did_cancel
+    assert len(res.nns) > 0  # pool-so-far, not empty
+    # partials are real near neighbors: the query item itself is in them
+    assert res.nns[0][0] == 0
+
+    # un-cancelled searches report truncation honestly (default: False)
+    full = reader.nns(10).ef_search(128).by_vector(data[0])
+    assert not full.did_cancel
+
+
+def test_entry_points_not_truncated(db):
+    """A flat (max_level=0) index keeps every top-layer item as an entry
+    point (hnsw.rs:278-287); Readers must not silently drop seeds past 32."""
+    from hannoy_tpu.models import hnsw as _hnsw
+
+    g = _hnsw.HostGraph.empty(
+        hannoy_tpu.Metric.EUCLIDEAN.distance, 8, 4, 8, capacity=256
+    )
+    for i in range(100):
+        s = g.alloc_slot(i)
+        g.levels[s] = 0
+        g.vectors[s, 0] = float(i)
+        g.norms[s] = float(i)
+    g.entry_slots = list(range(100))
+    dev = _hnsw.to_device(g)
+    eps = np.asarray(dev.entry_slots)
+    assert (eps >= 0).sum() == 100

@@ -251,3 +251,60 @@ def test_single_process_ownership(tmp_path, env_cls):
         env={**_os.environ, "JAX_PLATFORMS": "cpu"},
     )
     assert "OPENED" in out.stdout, out.stdout + out.stderr
+
+
+def test_put_many_and_streaming_scan(tmp_path, env_cls):
+    """Batched put + streaming value scan roundtrip, including overlay
+    visibility inside an uncommitted write txn (the native hny_scan_vals
+    merge path)."""
+    env = env_cls(tmp_path / "pm")
+    db = env.create_database(None, None)
+    keys = [Key.item(0, i).to_bytes() for i in range(50)]
+    vals = [bytes([i]) * (i + 1) for i in range(50)]
+    with env.write_txn() as w:
+        db.put_many(w, keys, vals)
+    with env.write_txn() as w:
+        # overlay put + tombstone over committed data, seen mid-txn
+        db.put(w, Key.item(0, 100).to_bytes(), b"fresh")
+        db.delete(w, Key.item(0, 3).to_bytes())
+        got = dict(db.prefix_iter(w, Prefix.item(0)))
+        assert got[Key.item(0, 100).to_bytes()] == b"fresh"
+        assert Key.item(0, 3).to_bytes() not in got
+        assert got[Key.item(0, 7).to_bytes()] == vals[7]
+        assert len(got) == 50  # 50 committed - 1 deleted + 1 fresh
+        w.abort()
+    got = dict(db.prefix_iter(env.read_txn(), Prefix.item(0)))
+    assert len(got) == 50 and got[Key.item(0, 3).to_bytes()] == vals[3]
+    env.close()
+
+
+def test_lock_survives_compaction(tmp_path, env_cls):
+    """Single-writer exclusivity must hold across compaction: the lock is
+    on a sidecar file, not the renamed log."""
+    import subprocess
+    import sys
+    import os as _os
+
+    path = tmp_path / "cl"
+    env = env_cls(path)
+    db = env.create_database(None, None)
+    with env.write_txn() as w:
+        for i in range(20):
+            db.put(w, Key.item(0, i).to_bytes(), b"v" * 100)
+    env.compact()
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    code = (
+        f"import sys; sys.path.insert(0, {repo!r})\n"
+        f"from hannoy_tpu.store import {env_cls.__name__} as E\n"
+        "from hannoy_tpu.errors import StoreError\n"
+        "try:\n"
+        f"    E({str(path)!r})\n"
+        "    print('OPENED')\n"
+        "except StoreError:\n"
+        "    print('LOCKED')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=120
+    )
+    assert "LOCKED" in out.stdout, out.stdout + out.stderr
+    env.close()
