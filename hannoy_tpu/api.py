@@ -474,22 +474,28 @@ class Writer:
         )
 
         # 4. device build
-        if len(insert_slots) or len(delete_slots):
+        built = bool(len(insert_slots) or len(delete_slots))
+        if built:
             with span("build_graph", inserts=len(insert_slots), deletes=len(delete_slots)):
                 _builder.build_graph(g, insert_slots, delete_slots, opts, stats)
 
         # 5. delete links of removed items AFTER build (writer.rs:577-580)
         opts.progress.update(BuildStep.DELETING_THE_LINKS)
-        for key, _ in list(db.prefix_iter(wtxn, Prefix.links(self._index))):
-            if Key.from_bytes(key).item in to_delete:
-                db.delete(wtxn, key)
+        if len(to_delete):
+            for key, _ in list(db.prefix_iter(wtxn, Prefix.links(self._index))):
+                if Key.from_bytes(key).item in to_delete:
+                    db.delete(wtxn, key)
         for s in delete_slots:
             g.release_slot(int(s))
 
         # 6. flush links + metadata + version (writer.rs:585-600)
+        # Only rows the build touched are rewritten (hnsw.rs:192-213
+        # flushes only the in-progress maps); an untouched 1M-item graph
+        # costs nothing when 10 items are appended.
         opts.progress.update(BuildStep.WRITING_THE_ITEMS)
-        with span("flush_links", items=g.n_items):
-            g.flush_links(db, wtxn, self._index)
+        if built:
+            with span("flush_links", items=g.n_items, touched=len(stats.touched)):
+                g.flush_links(db, wtxn, self._index, slots=stats.touched)
         opts.progress.update(BuildStep.WRITE_THE_METADATA)
         entry_ids = [int(g.ids[s]) for s in g.entry_slots]
         db.put(

@@ -23,6 +23,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -190,6 +191,12 @@ def build_graph(
     W = opts.wave_size
     n_active = int(active.sum())
 
+    # device-accumulated touched-row mask + build statistics: one transfer
+    # at build end instead of a sync per wave
+    dirty = jnp.zeros((g.capacity,), dtype=bool)
+    counters = jnp.zeros((4,), dtype=jnp.int32)
+    touched_host: set[int] = set()
+
     groups: list[tuple[int, np.ndarray]] = []
     for lv in sorted(set(int(x) for x in lvls), reverse=True):
         groups.append((lv, slots[lvls == lv]))
@@ -215,7 +222,9 @@ def build_graph(
             wave = np.full(w_pad, -1, dtype=np.int32)
             wave[: len(chunk)] = chunk
             with span("insert_wave", level=lv, width=w_pad, active=n_active):
-                dev = _insert_wave(dev, wave, lv, opts, n_active, node_ok, stats)
+                dev, dirty, counters = _insert_wave(
+                    dev, wave, lv, opts, n_active, node_ok, dirty, counters
+                )
             dev = wave_ops.activate_wave(dev, jnp.asarray(wave))
             n_active += len(chunk)
             done += len(chunk)
@@ -226,13 +235,24 @@ def build_graph(
     if deleted_set:
         opts.progress.update(BuildStep.PATCH_OLD_NEW_DELETED_LINKS)
         with span("repair_deletions", deleted=len(deleted_set)):
-            dev = _repair_deletions(g, dev, deleted_set, opts, stats)
+            dev = _repair_deletions(g, dev, deleted_set, opts, stats, touched_host)
         dev = wave_ops.clear_slots(
             dev, jnp.asarray(np.fromiter(deleted_set, dtype=np.int32))
         )
 
     # ---- sync back to host ----
     hnsw.from_device(g, dev)
+    dirty_np, counters_np = jax.device_get((dirty, counters))
+    touched_host.update(np.nonzero(dirty_np)[0].tolist())
+    touched_host -= deleted_set
+    stats.links_added += int(
+        counters_np[wave_ops.CNT_FWD_LINKS] + counters_np[wave_ops.CNT_REV_DELTA]
+    )
+    stats.beam_iters += int(counters_np[wave_ops.CNT_BEAM_ITERS])
+    stats.store_gathers += (
+        int(counters_np[wave_ops.CNT_ROW_GATHERS]) * wave_ops.GATHER_GRANULE
+    )
+    stats.touched = np.asarray(sorted(touched_host), dtype=np.int64)
     return stats
 
 
@@ -243,8 +263,9 @@ def _insert_wave(
     opts: BuildOptions,
     n_active: int,
     node_ok,
-    stats: BuildStats,
-) -> DeviceGraph:
+    dirty,
+    counters,
+):
     """Insert one wave: greedy descent to lv+1, then per-level beam +
     prune + connect, chaining each level's pruned set as the next level's
     seeds (hnsw.rs:291-328)."""
@@ -260,12 +281,14 @@ def _insert_wave(
 
     for level in range(min(lv, dev.max_level), -1, -1):
         cap = dev.m0 if level == 0 else dev.upper_links.shape[-1]
-        dev, selected = wave_ops.wave_insert_level(
+        dev, selected, dirty, counters = wave_ops.wave_insert_level(
             dev,
             wave_j,
             seeds,
             node_ok,
             jnp.int32(level),
+            dirty,
+            counters,
             is_level0=(level == 0),
             ef=opts.ef_construction,
             cap=cap,
@@ -273,8 +296,7 @@ def _insert_wave(
             flat=use_flat,
         )
         seeds = selected
-        stats.incr_link_count(2 * int(wave.shape[0]) * cap)  # upper bound
-    return dev
+    return dev, dirty, counters
 
 
 def _repair_deletions(
@@ -283,9 +305,11 @@ def _repair_deletions(
     deleted_set: set[int],
     opts: BuildOptions,
     stats: BuildStats,
+    touched: set[int],
 ) -> DeviceGraph:
     """Find rows referencing deleted slots (host scan of synced links) and
-    repair them in fixed-size device blocks."""
+    repair them in fixed-size device blocks. Repaired owners are recorded
+    in ``touched`` for the dirty-row flush."""
     hnsw.from_device(g, dev)
     del_arr = np.zeros(g.capacity, dtype=bool)
     del_arr[list(deleted_set)] = True
@@ -312,6 +336,7 @@ def _repair_deletions(
             [s for s in affected_owners if s >= 0 and s not in deleted_set],
             dtype=np.int32,
         )
+        touched.update(int(s) for s in affected_owners)
         cap = g.m0 if level == 0 else g.m
         for start in range(0, len(affected_owners), REPAIR_BLOCK):
             if opts.cancel():

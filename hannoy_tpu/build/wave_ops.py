@@ -29,6 +29,19 @@ from ..ops.topk import INF, NO_ID
 class WaveLevelResult(NamedTuple):
     graph: DeviceGraph
     selected: jax.Array  # [W, cap] pruned neighbors (next level's seeds)
+    dirty: jax.Array  # [N_pad] bool — slots whose link rows changed
+    counters: jax.Array  # [4] i64: fwd links, reverse link delta, beam iters, row gathers
+
+
+#: counters[] layout (device-accumulated build statistics — the real
+#: equivalents of the reference's atomic BuildStats, stats.rs:10-38).
+#: int32 lanes (jax x64 is off): CNT_ROW_GATHERS counts 1024-row granules
+#: so 10M-scale builds cannot overflow; the host converts back to rows.
+CNT_FWD_LINKS = 0
+CNT_REV_DELTA = 1
+CNT_BEAM_ITERS = 2
+CNT_ROW_GATHERS = 3  # unit: 1024 gathered rows
+GATHER_GRANULE = 1024
 
 
 def _scatter_rows(
@@ -102,7 +115,7 @@ def _replace(g: DeviceGraph, **kw) -> DeviceGraph:
 @partial(
     jax.jit,
     static_argnames=("is_level0", "ef", "cap", "alpha", "inc_cap", "flat"),
-    donate_argnames=("g",),
+    donate_argnames=("g", "dirty", "counters"),
 )
 def wave_insert_level(
     g: DeviceGraph,
@@ -110,6 +123,8 @@ def wave_insert_level(
     seeds: jax.Array,  # [W, S] entry slots for this level's walk
     node_ok: jax.Array,  # [N_pad] exists-and-not-deleted (beam traversal)
     level: jax.Array,  # traced scalar; only read when not is_level0
+    dirty: jax.Array | None = None,  # [N_pad] bool touched-row accumulator
+    counters: jax.Array | None = None,  # [4] i64 build statistics
     is_level0: bool = True,
     ef: int = 100,
     cap: int = 32,
@@ -123,6 +138,12 @@ def wave_insert_level(
        still tiny — ``flat=True``),
     2. α-prune → forward row scatter,
     3. deterministic reverse-edge merge with overflow α-prune.
+
+    ``dirty`` accumulates every slot whose link row this wave rewrote (the
+    wave itself + reverse-merge destinations) so incremental builds flush
+    only touched rows (reference flushes only its in-progress maps,
+    hnsw.rs:192-213). ``counters`` accumulates real build statistics on
+    device — one host transfer at build end, no per-wave syncs.
     """
     metric = g.metric
     W = wave_slots.shape[0]
@@ -130,6 +151,10 @@ def wave_insert_level(
     q = g.vectors[jnp.maximum(wave_slots, 0)]
     qn = g.norms[jnp.maximum(wave_slots, 0)]
     level = 0 if is_level0 else level
+    if dirty is None:
+        dirty = jnp.zeros((g.capacity,), dtype=bool)
+    if counters is None:
+        counters = jnp.zeros((4,), dtype=jnp.int32)
 
     if flat:
         d_mat = distances.matrix_distances(metric, q, qn, g.vectors, g.norms)
@@ -153,6 +178,11 @@ def wave_insert_level(
             g, q, qn, seeds, ef, max_iters=ef + 16, node_ok=node_ok, level=level
         )
         cand_ids, cand_d = res.slots, res.dists
+        width = int(g.m0 if is_level0 else g.upper_links.shape[-1])
+        counters = counters.at[CNT_BEAM_ITERS].add(res.iters)
+        # every beam iteration physically gathers W * width vector rows
+        granules = max(1, round(W * width / GATHER_GRANULE))
+        counters = counters.at[CNT_ROW_GATHERS].add(res.iters * granules)
 
     # exclude self (re-inserted entry points find themselves at distance 0 —
     # reference add_link's p == q guard, hnsw.rs:530-532)
@@ -168,6 +198,8 @@ def wave_insert_level(
 
     # ---- forward rows ----
     g = _set_level_rows(g, level, wave_slots, sel_ids, sel_d)
+    counters = counters.at[CNT_FWD_LINKS].add(jnp.sum(sel_ids != NO_ID, dtype=jnp.int32))
+    dirty = dirty.at[jnp.where(wave_ok, wave_slots, g.capacity)].set(True, mode="drop")
 
     # ---- reverse edges: sorted-COO segment merge ----
     dst = sel_ids.reshape(-1)  # [W*cap]
@@ -219,11 +251,16 @@ def wave_insert_level(
     def merge_chunk(args):
         dst_c, iid_c, idd_c = args
         row_ids, row_d = _level_rows(g, level, dst_c)
-        return prune.merge_link_rows(
+        m_ids, m_d = prune.merge_link_rows(
             metric, g.vectors, g.norms, row_ids, row_d, iid_c, idd_c, cap, alpha
         )
+        live = (dst_c != NO_ID)[:, None]
+        delta = jnp.sum(
+            jnp.where(live, (m_ids != NO_ID).astype(jnp.int32), 0)
+        ) - jnp.sum(jnp.where(live, (row_ids != NO_ID).astype(jnp.int32), 0))
+        return m_ids, m_d, delta
 
-    merged_ids, merged_d = jax.lax.map(
+    merged_ids, merged_d, deltas = jax.lax.map(
         merge_chunk,
         (
             u_dst_p.reshape(n_chunks, chunk),
@@ -233,10 +270,12 @@ def wave_insert_level(
     )
     merged_ids = merged_ids.reshape(-1, cap)[:U]
     merged_d = merged_d.reshape(-1, cap)[:U]
+    counters = counters.at[CNT_REV_DELTA].add(jnp.sum(deltas))
     # untouched (padding) rows scatter nowhere
     g = _set_level_rows(g, level, u_dst, merged_ids, merged_d)
+    dirty = dirty.at[jnp.where(u_dst != NO_ID, u_dst, g.capacity)].set(True, mode="drop")
 
-    return WaveLevelResult(g, sel_ids)
+    return WaveLevelResult(g, sel_ids, dirty, counters)
 
 
 @partial(jax.jit, donate_argnames=("g",))

@@ -292,20 +292,28 @@ class HostGraph:
                 g.levels[s] = 0
         g.max_level = metadata.max_level
         g.ensure_layers(g.max_level)
-        pending: list[tuple[int, int, np.ndarray]] = []
+        # Two passes over links rows. A links row whose owner has no item
+        # record belongs to a deleted-but-not-yet-rebuilt item (del_item
+        # removes the record immediately; its links persist until the next
+        # build so the FreshDiskANN repair can splice through them —
+        # reference writer.rs:577-580). Such owners get *ghost* slots
+        # (zero vector) so survivor rows keep their edges intact and the
+        # builder's deletion repair sees the full graph.
+        raw_rows: list[tuple[int, int, np.ndarray]] = []
         for key, val in db.prefix_iter(txn, _Prefix.links(index)):
             k = _Key.from_bytes(key)
-            slot = g.id_to_slot.get(k.item)
-            if slot is None:
-                continue  # dangling row (should not happen post-build)
-            g.levels[slot] = max(g.levels[slot], k.layer)
             ids = _decode_links(val).to_array()
+            raw_rows.append((k.item, k.layer, ids))
+            if k.item not in g.id_to_slot:
+                s = g.alloc_slot(k.item)
+                g.levels[s] = 0  # raised as its rows are applied below
+        for item, layer, ids in raw_rows:
+            slot = g.id_to_slot[item]
+            g.levels[slot] = max(g.levels[slot], layer)
             link_slots = np.asarray(
                 [g.id_to_slot[i] for i in ids.tolist() if i in g.id_to_slot],
                 dtype=np.int32,
             )
-            pending.append((slot, k.layer, link_slots))
-        for slot, layer, link_slots in pending:
             # NaN marks "distance unknown, recompute on device"
             g.set_links(
                 slot, layer, link_slots, np.full(len(link_slots), np.nan, dtype=np.float32)
@@ -315,23 +323,43 @@ class HostGraph:
         ]
         return g
 
-    def flush_links(self, db: Database, wtxn: RwTxn, index: int) -> None:
-        """Persist every node's links to the store (reference's
-        single-threaded flush, hnsw.rs:192-213: layers → LMDB puts).
+    def flush_links(
+        self, db: Database, wtxn: RwTxn, index: int, slots=None, chunk: int = 8192
+    ) -> None:
+        """Persist link rows to the store (reference's single-threaded
+        flush, hnsw.rs:192-213: layers → LMDB puts).
+
+        ``slots``: rows to flush — builds pass the touched set
+        (``BuildStats.touched``) so an incremental 10-item build into a
+        1M-item index issues O(10·M) puts, not O(1M) (the reference flushes
+        only nodes in its in-progress maps). ``None`` flushes every valid
+        slot (fresh-build / conversion semantics).
 
         Writes one links row per (item, layer<=level) — including empty
         rows, matching the reference where every inserted node gets a
         ``NodeState`` even if no links were added (hnsw.rs:419-424)."""
-        for slot in np.nonzero(self.valid_mask())[0]:
+        if slots is None:
+            slots = np.nonzero(self.valid_mask())[0]
+        keys: list[bytes] = []
+        vals: list[bytes] = []
+        put_many = getattr(db, "put_many", None)
+        for slot in slots:
+            if self.levels[slot] < 0:
+                continue  # released since being touched
             item_id = int(self.ids[slot])
             for level in range(int(self.levels[slot]) + 1):
                 link_slots = self.links_of(int(slot), level)
                 link_ids = self.ids[link_slots].astype(np.uint32)
-                db.put(
-                    wtxn,
-                    Key.links(index, item_id, level).to_bytes(),
-                    encode_links(link_ids),
-                )
+                keys.append(Key.links(index, item_id, level).to_bytes())
+                vals.append(encode_links(link_ids))
+                if put_many is not None and len(keys) >= chunk:
+                    put_many(wtxn, keys, vals)
+                    keys, vals = [], []
+        if put_many is not None:
+            put_many(wtxn, keys, vals)
+        else:  # minimal Database protocol (tests' counting shims)
+            for k, v in zip(keys, vals):
+                db.put(wtxn, k, v)
 
     # -- invariants --------------------------------------------------------
     def check_validity(self) -> None:

@@ -452,3 +452,66 @@ def test_entry_points_not_truncated(db):
     dev = _hnsw.to_device(g)
     eps = np.asarray(dev.entry_slots)
     assert (eps >= 0).sum() == 100
+
+
+def test_incremental_flush_touches_only_dirty_rows(db, rng):
+    """Appending 10 items to a built index must issue O(10·M) store puts,
+    not O(N) (reference flushes only the in-progress maps,
+    hnsw.rs:192-213)."""
+    n = 2000
+    data = rng.standard_normal((n, 16)).astype(np.float32)
+    with db.writer(16, m=8, ef=48) as w:
+        w.add_items(range(n), data)
+
+    w = db.writer(16, m=8, ef=48)
+    w.add_items(range(n, n + 10), rng.standard_normal((10, 16)).astype(np.float32))
+
+    inner = db._db
+    counts = {"rows": 0}
+    orig_put, orig_pm = inner.put, inner.put_many
+
+    def cput(t, k, v):
+        counts["rows"] += 1
+        return orig_put(t, k, v)
+
+    def cpm(t, ks, vs):
+        counts["rows"] += len(ks)
+        return orig_pm(t, ks, vs)
+
+    inner.put, inner.put_many = cput, cpm
+    try:
+        stats = w.build()
+    finally:
+        inner.put, inner.put_many = orig_put, orig_pm
+    db.commit_rw_txn()
+
+    # touched = 10 inserted rows + their reverse-link destinations
+    # (≤ 10 * m0 per layer) + metadata + version — far below N
+    assert counts["rows"] < n // 2, counts["rows"]
+    assert len(stats.touched) < n // 2
+    reader = db.reader()
+    reader.assert_validity()
+    got = reader.nns(3).by_vector(data[5])
+    assert got.nns[0][0] == 5
+
+
+def test_build_stats_are_real(db, rng):
+    """BuildStats counts actual work (reference stats.rs:10-38), not
+    upper bounds: links within physical bounds, beam iterations and row
+    gathers accumulated from the device."""
+    n = 1500  # above FLAT_BOOTSTRAP so real beams run
+    data = rng.standard_normal((n, 16)).astype(np.float32)
+    w = db.writer(16, m=8, ef=48)
+    w.add_items(range(n), data)
+    stats = w.build()
+    db.commit_rw_txn()
+
+    assert stats.links_added > n  # every item links somewhere
+    # physically impossible to exceed: every row holds <= m0 links per layer
+    total_rows = sum((lv + 1) * c for lv, c in stats.layer_dist.items())
+    assert stats.links_added <= total_rows * 16  # m0 = 16
+    assert stats.beam_iters > 0
+    assert stats.store_gathers > 0
+    assert stats.waves > 0
+    # fresh build touches every item
+    assert len(stats.touched) == n
