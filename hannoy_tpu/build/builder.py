@@ -59,6 +59,17 @@ class BuildOptions:
     progress: object = dataclasses.field(default_factory=NoProgress)
     wave_size: int = DEFAULT_WAVE
     seed: int = 42
+    #: extra layer-0 link columns during the build: incoming reverse edges
+    #: accumulate in the slack by plain distance order and a row is
+    #: α-pruned only when the slack overflows (plus one global prune pass
+    #: at build end) — the DiskANN batched-build deferral of the
+    #: reference's prune-on-overflow (hnsw.rs:523-560), which it reproduces
+    #: exactly at slack=0. Measured on v5e (100k×768 cosine, efc=48):
+    #: slack=0 builds 3755 vec/s at recall@10 0.976; slack=16 is *worse*
+    #: on both axes (2477 vec/s, 0.959 — construction-time traversal sees
+    #: distance-truncated rows), so 0 is the default and the knob exists
+    #: for experimentation only.
+    link_slack: int = 0
 
 
 def prepare_entry_points(
@@ -133,24 +144,22 @@ def _layer_members(g: HostGraph, level: int) -> np.ndarray:
     return np.nonzero(g.slot_rows[level - 1] >= 0)[0]
 
 
-def build_graph(
+def plan_build(
     g: HostGraph,
     insert_slots: np.ndarray,
     deleted_slots: np.ndarray,
     opts: BuildOptions,
-    stats: Optional[BuildStats] = None,
-) -> BuildStats:
-    """Run a full (fresh or incremental) build on device.
-
-    Preconditions: vectors/norms for ``insert_slots`` are already staged in
-    ``g``; ``deleted_slots`` rows still carry their old links (the reference
-    deletes links *after* the build so the repair pass can splice through
-    them, writer.rs:577-580).
-    """
-    stats = stats or BuildStats()
+    stats: BuildStats,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Host prologue shared by the single-chip and SPMD builders: sample
+    levels, resolve entry points, allocate upper rows, and derive the two
+    device masks. Returns (slots, lvls, active, exists_ok) — ``active`` is
+    the initial searchable mask (previously indexed, not deleted, not
+    re-inserted-yet); ``exists_ok`` additionally admits the items being
+    inserted (beam traversal may seed anything that exists and is not
+    deleted, reference hnsw.rs:474-481, 498-501)."""
     rng = np.random.default_rng(opts.seed)
     deleted_set = {int(s) for s in deleted_slots}
-
     insert_levels = sample_levels(rng, g.m, len(insert_slots))
 
     opts.progress.update(BuildStep.RESOLVE_GRAPH_ENTRY_POINTS)
@@ -167,21 +176,40 @@ def build_graph(
     for lv in np.unique(lvls):
         stats.layer_dist[int(lv)] = stats.layer_dist.get(int(lv), 0) + int((lvls == lv).sum())
 
-    # Device valid mask: previously-indexed, not deleted, not re-inserted-yet
-    being_inserted = set(int(s) for s in slots)
     active = (g.levels >= 0).copy()
-    for s in being_inserted:
-        active[s] = False
+    active[slots] = False
     for s in deleted_set:
         active[s] = False
-
-    dev = hnsw.to_device(g)
-    dev = wave_ops._replace(dev, valid=jnp.asarray(active))
-    # beam traversal during the build may seed/visit anything that exists
-    # and is not deleted (see wave_ops.wave_insert_level node_ok)
     exists_ok = (g.levels >= 0).copy()
     for s_ in deleted_set:
         exists_ok[s_] = False
+    return slots, lvls, active, exists_ok
+
+
+def build_graph(
+    g: HostGraph,
+    insert_slots: np.ndarray,
+    deleted_slots: np.ndarray,
+    opts: BuildOptions,
+    stats: Optional[BuildStats] = None,
+) -> BuildStats:
+    """Run a full (fresh or incremental) build on device.
+
+    Preconditions: vectors/norms for ``insert_slots`` are already staged in
+    ``g``; ``deleted_slots`` rows still carry their old links (the reference
+    deletes links *after* the build so the repair pass can splice through
+    them, writer.rs:577-580).
+    """
+    stats = stats or BuildStats()
+    deleted_set = {int(s) for s in deleted_slots}
+
+    slots, lvls, active, exists_ok = plan_build(g, insert_slots, deleted_slots, opts, stats)
+
+    slack = opts.link_slack
+    dev = hnsw.to_device(g, link_slack=slack)
+    dev = wave_ops._replace(dev, valid=jnp.asarray(active))
+    # beam traversal during the build may seed/visit anything that exists
+    # and is not deleted (see wave_ops.wave_insert_level node_ok)
     node_ok = jnp.asarray(exists_ok)
 
     # ---- insertion waves, level-descending (hnsw.rs:160-185) ----
@@ -223,13 +251,20 @@ def build_graph(
             wave[: len(chunk)] = chunk
             with span("insert_wave", level=lv, width=w_pad, active=n_active):
                 dev, dirty, counters = _insert_wave(
-                    dev, wave, lv, opts, n_active, node_ok, dirty, counters
+                    dev, wave, lv, opts, n_active, node_ok, dirty, counters, g.m0
                 )
             dev = wave_ops.activate_wave(dev, jnp.asarray(wave))
             n_active += len(chunk)
             done += len(chunk)
             stats.waves += 1
             opts.progress.update(InsertItemsStep(done, total))
+
+    # ---- reduce slack rows to m0 (α-prune over the full candidate set) ----
+    if slack:
+        with span("prune_slack_rows"):
+            dev, dirty = wave_ops.prune_slack_rows(
+                dev, dirty, cap=g.m0, alpha=opts.alpha
+            )
 
     # ---- deletion repair (fill_gaps_from_deleted, hnsw.rs:334-415) ----
     if deleted_set:
@@ -265,6 +300,7 @@ def _insert_wave(
     node_ok,
     dirty,
     counters,
+    m0: int,
 ):
     """Insert one wave: greedy descent to lv+1, then per-level beam +
     prune + connect, chaining each level's pruned set as the next level's
@@ -280,7 +316,8 @@ def _insert_wave(
         )
 
     for level in range(min(lv, dev.max_level), -1, -1):
-        cap = dev.m0 if level == 0 else dev.upper_links.shape[-1]
+        # logical caps: the device layer-0 table may be slack-widened
+        cap = m0 if level == 0 else dev.upper_links.shape[-1]
         dev, selected, dirty, counters = wave_ops.wave_insert_level(
             dev,
             wave_j,

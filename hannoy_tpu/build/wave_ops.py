@@ -60,7 +60,15 @@ def _set_level_rows(
 
     ``level`` is the static int 0 for layer 0; upper layers may pass a
     traced scalar — the stacked tables are updated with a dynamic index so
-    one compilation covers every upper layer."""
+    one compilation covers every upper layer.
+
+    ``ids``/``d`` narrower than the physical table (build-time slack rows,
+    see ``wave_insert_level``) are padded with sentinels."""
+    tw = g.links0.shape[-1] if (isinstance(level, int) and level == 0) else g.upper_links.shape[-1]
+    if ids.shape[-1] < tw:
+        pad = tw - ids.shape[-1]
+        ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=NO_ID)
+        d = jnp.pad(d, ((0, 0), (0, pad)), constant_values=jnp.inf)
     if isinstance(level, int) and level == 0:
         links0 = _scatter_rows(g.links0, slots, ids)
         dists0 = _scatter_rows(g.dists0, slots, d)
@@ -154,7 +162,9 @@ def wave_insert_level(
     if dirty is None:
         dirty = jnp.zeros((g.capacity,), dtype=bool)
     if counters is None:
-        counters = jnp.zeros((4,), dtype=jnp.int32)
+        # + 0*wave keeps the array derived from a traced input (shard_map
+        # VMA tracking requires while_loop carries to match, see CLAUDE.md)
+        counters = jnp.zeros((4,), dtype=jnp.int32) + 0 * wave_slots[0]
 
     if flat:
         d_mat = distances.matrix_distances(metric, q, qn, g.vectors, g.norms)
@@ -173,12 +183,14 @@ def wave_insert_level(
     else:
         # construction beams converge long before the search-time default
         # iteration cap; ef + 16 expansions is enough for candidate quality
-        # (the alpha-prune keeps only `cap` of them anyway)
+        # (the alpha-prune keeps only `cap` of them anyway). traverse_k
+        # keeps the hot gather at `cap` rows when tables carry slack.
         res = beam.beam_search(
-            g, q, qn, seeds, ef, max_iters=ef + 16, node_ok=node_ok, level=level
+            g, q, qn, seeds, ef, max_iters=ef + 16, node_ok=node_ok, level=level,
+            traverse_k=cap if is_level0 else None,
         )
         cand_ids, cand_d = res.slots, res.dists
-        width = int(g.m0 if is_level0 else g.upper_links.shape[-1])
+        width = int(cap if is_level0 else g.upper_links.shape[-1])
         counters = counters.at[CNT_BEAM_ITERS].add(res.iters)
         # every beam iteration physically gathers W * width vector rows
         granules = max(1, round(W * width / GATHER_GRANULE))
@@ -202,6 +214,19 @@ def wave_insert_level(
     dirty = dirty.at[jnp.where(wave_ok, wave_slots, g.capacity)].set(True, mode="drop")
 
     # ---- reverse edges: sorted-COO segment merge ----
+    # Edges are grouped by destination (sorted by (dst, distance) for
+    # determinism) and merged in two passes (reference add_link semantics,
+    # hnsw.rs:523-560: push while there is room, α-prune on overflow):
+    #   A. a *cheap* distance-merge with no vector gathers, run only over
+    #      the real unique destinations (while_loop with a dynamic trip
+    #      count — the old fixed-grid lax.map burned ~2/3 of every wave on
+    #      padding chunks and unconditional α-prune gathers);
+    #   B. an α-prune over only the rows that overflowed the physical
+    #      table width, compacted to a prefix.
+    # With build-time slack (table width > cap) overflow is rare and B is
+    # nearly free; slack rows are reduced back to ``cap`` by
+    # ``prune_slack_rows`` at build end. slack=0 reproduces the reference's
+    # per-overflow prune exactly.
     dst = sel_ids.reshape(-1)  # [W*cap]
     src = jnp.repeat(wave_slots, cap)
     rd = sel_d.reshape(-1)
@@ -223,6 +248,7 @@ def wave_insert_level(
     valid_e = dst_s != NO_ID
     u_dst = jnp.full((E,), NO_ID, dtype=jnp.int32)
     u_dst = u_dst.at[jnp.where(first & valid_e, seg_id, E)].set(dst_s, mode="drop")
+    n_unique = jnp.sum(first & valid_e, dtype=jnp.int32)
 
     inc_ids = jnp.full((E, inc_cap), NO_ID, dtype=jnp.int32)
     inc_d = jnp.full((E, inc_cap), INF)
@@ -232,50 +258,175 @@ def wave_insert_level(
     inc_ids = inc_ids.at[sc_r, sc_c].set(src_s, mode="drop")
     inc_d = inc_d.at[sc_r, sc_c].set(rd_s, mode="drop")
 
-    # Chunk the reverse merge: the α-prune inside gathers [U, cap+inc, D]
-    # candidate vectors — for W=4096, cap=32 that is ~19 GB in one shot,
-    # beyond one chip's HBM. lax.map keeps peak memory at one chunk.
-    U = u_dst.shape[0]
-    chunk = min(U, 2048)
-    n_chunks = (U + chunk - 1) // chunk
-    pad_rows = n_chunks * chunk - U
-    if pad_rows:
-        u_dst_p = jnp.concatenate([u_dst, jnp.full((pad_rows,), NO_ID, jnp.int32)])
-        inc_ids_p = jnp.concatenate(
-            [inc_ids, jnp.full((pad_rows, inc_cap), NO_ID, jnp.int32)]
-        )
-        inc_d_p = jnp.concatenate([inc_d, jnp.full((pad_rows, inc_cap), INF)])
-    else:
-        u_dst_p, inc_ids_p, inc_d_p = u_dst, inc_ids, inc_d
-
-    def merge_chunk(args):
-        dst_c, iid_c, idd_c = args
-        row_ids, row_d = _level_rows(g, level, dst_c)
-        m_ids, m_d = prune.merge_link_rows(
-            metric, g.vectors, g.norms, row_ids, row_d, iid_c, idd_c, cap, alpha
-        )
-        live = (dst_c != NO_ID)[:, None]
-        delta = jnp.sum(
-            jnp.where(live, (m_ids != NO_ID).astype(jnp.int32), 0)
-        ) - jnp.sum(jnp.where(live, (row_ids != NO_ID).astype(jnp.int32), 0))
-        return m_ids, m_d, delta
-
-    merged_ids, merged_d, deltas = jax.lax.map(
-        merge_chunk,
-        (
-            u_dst_p.reshape(n_chunks, chunk),
-            inc_ids_p.reshape(n_chunks, chunk, inc_cap),
-            inc_d_p.reshape(n_chunks, chunk, inc_cap),
-        ),
+    g, counters, over_pos = _reverse_cheap_merge(
+        g, level, u_dst, inc_ids, inc_d, n_unique, counters
     )
-    merged_ids = merged_ids.reshape(-1, cap)[:U]
-    merged_d = merged_d.reshape(-1, cap)[:U]
-    counters = counters.at[CNT_REV_DELTA].add(jnp.sum(deltas))
-    # untouched (padding) rows scatter nowhere
-    g = _set_level_rows(g, level, u_dst, merged_ids, merged_d)
+    g, counters = _reverse_prune_overflow(
+        g, level, u_dst, inc_ids, inc_d, over_pos, counters, cap, alpha
+    )
     dirty = dirty.at[jnp.where(u_dst != NO_ID, u_dst, g.capacity)].set(True, mode="drop")
 
     return WaveLevelResult(g, sel_ids, dirty, counters)
+
+
+_CHUNK_A = 2048  # phase-A rows per step (no vector gathers)
+_CHUNK_B = 2048  # phase-B rows per step (gathers [CH, TW+inc, D] vectors)
+_POS_SENTINEL = jnp.int32(2**30)
+
+
+def _reverse_cheap_merge(g, level, u_dst, inc_ids, inc_d, n_unique, counters):
+    """Phase A: distance-merge incoming edges into each receiving row;
+    finalize rows that fit in the physical width, record overflow segment
+    positions for phase B. Runs ceil(n_unique / CH) chunks."""
+    E, inc_cap = inc_ids.shape
+    CH = min(_CHUNK_A, E)
+    pad = (-E) % CH  # dynamic_slice must never clamp (misaligns offsets)
+    if pad:
+        u_dst = jnp.concatenate([u_dst, jnp.full((pad,), NO_ID, jnp.int32)])
+        inc_ids = jnp.concatenate([inc_ids, jnp.full((pad, inc_cap), NO_ID, jnp.int32)])
+        inc_d = jnp.concatenate([inc_d, jnp.full((pad, inc_cap), INF)])
+    n_steps = (n_unique + CH - 1) // CH
+    # derive from a traced input so shard_map's varying-manual-axes match
+    # between while_loop carry input and output (see CLAUDE.md gotcha)
+    over_pos = jnp.full_like(u_dst, _POS_SENTINEL)
+
+    def body(state):
+        links0, dists0, ul, ud, over_pos, counters, i = state
+        gc = _replace(g, links0=links0, dists0=dists0, upper_links=ul, upper_dists=ud)
+        p0 = i * CH
+        dst_c = jax.lax.dynamic_slice(u_dst, (p0,), (CH,))
+        iid_c = jax.lax.dynamic_slice(inc_ids, (p0, 0), (CH, inc_cap))
+        idd_c = jax.lax.dynamic_slice(inc_d, (p0, 0), (CH, inc_cap))
+        row_ids, row_d = _level_rows(gc, level, dst_c)
+        tw = row_ids.shape[-1]
+
+        ids = jnp.concatenate([row_ids, iid_c], axis=-1)
+        d = jnp.concatenate([row_d, idd_c], axis=-1)
+        keepm = topk.unique_mask(ids) & jnp.isfinite(d)
+        d = jnp.where(keepm, d, INF)
+        ids = jnp.where(keepm, ids, NO_ID)
+        d, ids = topk.sort_by_dist(d, ids)
+        n_total = jnp.sum(ids != NO_ID, axis=-1)
+        fits = n_total <= tw
+
+        live = dst_c != NO_ID
+        write_dst = jnp.where(fits & live, dst_c, NO_ID)
+        old_n = jnp.sum(row_ids != NO_ID, axis=-1)
+        delta = jnp.sum(jnp.where(fits & live, n_total - old_n, 0), dtype=jnp.int32)
+        gc = _set_level_rows(gc, level, write_dst, ids[:, :tw], d[:, :tw])
+
+        marks = jnp.where(
+            (~fits) & live, p0 + jnp.arange(CH, dtype=jnp.int32), _POS_SENTINEL
+        )
+        over_pos = jax.lax.dynamic_update_slice(over_pos, marks, (p0,))
+        counters = counters.at[CNT_REV_DELTA].add(delta)
+        return (gc.links0, gc.dists0, gc.upper_links, gc.upper_dists, over_pos, counters, i + 1)
+
+    def cond(state):
+        return state[-1] < n_steps
+
+    init = (g.links0, g.dists0, g.upper_links, g.upper_dists, over_pos, counters, jnp.int32(0))
+    links0, dists0, ul, ud, over_pos, counters, _ = jax.lax.while_loop(cond, body, init)
+    return (
+        _replace(g, links0=links0, dists0=dists0, upper_links=ul, upper_dists=ud),
+        counters,
+        over_pos,
+    )
+
+
+def _reverse_prune_overflow(g, level, u_dst, inc_ids, inc_d, over_pos, counters, cap, alpha):
+    """Phase B: α-prune the rows phase A could not fit (reference
+    ``add_link`` overflow branch). Overflow positions are compacted to a
+    prefix; runs ceil(n_over / CH) chunks of vector-gathering prune."""
+    metric = g.metric
+    E, inc_cap = inc_ids.shape
+    CH = min(_CHUNK_B, E)
+    over_sorted = jnp.sort(over_pos)
+    pad = (-over_sorted.shape[0]) % CH
+    if pad:
+        over_sorted = jnp.concatenate(
+            [over_sorted, jnp.full((pad,), _POS_SENTINEL, jnp.int32)]
+        )
+    n_over = jnp.sum(over_pos != _POS_SENTINEL, dtype=jnp.int32)
+    n_steps = (n_over + CH - 1) // CH
+
+    def body(state):
+        links0, dists0, ul, ud, counters, i = state
+        gc = _replace(g, links0=links0, dists0=dists0, upper_links=ul, upper_dists=ud)
+        p0 = i * CH
+        pos_c = jax.lax.dynamic_slice(over_sorted, (p0,), (CH,))
+        valid = pos_c != _POS_SENTINEL
+        p = jnp.where(valid, pos_c, 0)
+        dst_c = jnp.where(valid, u_dst[p], NO_ID)
+        iid_c = inc_ids[p]
+        idd_c = jnp.where(valid[:, None], inc_d[p], INF)
+        row_ids, row_d = _level_rows(gc, level, dst_c)
+        old_n = jnp.sum(row_ids != NO_ID, axis=-1)
+        m_ids, m_d = prune.merge_link_rows(
+            metric, gc.vectors, gc.norms, row_ids, row_d, iid_c, idd_c, cap, alpha
+        )
+        delta = jnp.sum(
+            jnp.where(dst_c != NO_ID, jnp.sum(m_ids != NO_ID, axis=-1) - old_n, 0),
+            dtype=jnp.int32,
+        )
+        gc = _set_level_rows(gc, level, dst_c, m_ids, m_d)
+        counters = counters.at[CNT_REV_DELTA].add(delta)
+        return (gc.links0, gc.dists0, gc.upper_links, gc.upper_dists, counters, i + 1)
+
+    def cond(state):
+        return state[-1] < n_steps
+
+    init = (g.links0, g.dists0, g.upper_links, g.upper_dists, counters, jnp.int32(0))
+    links0, dists0, ul, ud, counters, _ = jax.lax.while_loop(cond, body, init)
+    return (
+        _replace(g, links0=links0, dists0=dists0, upper_links=ul, upper_dists=ud),
+        counters,
+    )
+
+
+@partial(jax.jit, static_argnames=("cap", "alpha"), donate_argnames=("g", "dirty"))
+def prune_slack_rows(g: DeviceGraph, dirty: jax.Array, cap: int, alpha: float):
+    """Reduce slack-widened layer-0 rows back to ``cap`` with the α-rule.
+
+    Run once at build end when the build used link slack: every row that
+    accumulated more than ``cap`` live links is α-pruned over its full
+    (distance-sorted) candidate set — the same rule the reference applies
+    on each individual overflow (hnsw.rs:538-552), applied to a richer
+    candidate pool. Rows at or under ``cap`` are untouched."""
+    metric = g.metric
+    counts = jnp.sum(g.links0 != NO_ID, axis=-1)
+    over = counts > cap  # [N_pad]
+    n_over = jnp.sum(over, dtype=jnp.int32)
+    # compact overfull slots to a prefix; pad to a chunk multiple so the
+    # dynamic_slice below never clamps (a clamped slice would misalign the
+    # pos_ok mask and prune rows the reference would leave alone)
+    order = jnp.argsort(jnp.where(over, 0, 1), stable=True).astype(jnp.int32)
+    CH = min(_CHUNK_B, order.shape[0])
+    pad = (-order.shape[0]) % CH
+    if pad:
+        order = jnp.concatenate([order, jnp.full((pad,), NO_ID, jnp.int32)])
+    n_steps = (n_over + CH - 1) // CH
+
+    def body(state):
+        links0, dists0, i = state
+        gc = _replace(g, links0=links0, dists0=dists0)
+        p0 = i * CH
+        slots = jax.lax.dynamic_slice(order, (p0,), (CH,))
+        pos_ok = (p0 + jnp.arange(CH, dtype=jnp.int32)) < n_over
+        slots = jnp.where(pos_ok, slots, NO_ID)
+        row_ids, row_d = _level_rows(gc, 0, slots)
+        p_ids, p_d = prune.robust_prune(
+            metric, gc.vectors, gc.norms, row_ids, row_d, cap, alpha
+        )
+        gc = _set_level_rows(gc, 0, slots, p_ids, p_d)
+        return (gc.links0, gc.dists0, i + 1)
+
+    def cond(state):
+        return state[-1] < n_steps
+
+    links0, dists0, _ = jax.lax.while_loop(cond, body, (g.links0, g.dists0, jnp.int32(0)))
+    dirty = dirty | over
+    return _replace(g, links0=links0, dists0=dists0), dirty
 
 
 @partial(jax.jit, donate_argnames=("g",))

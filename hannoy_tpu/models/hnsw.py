@@ -456,10 +456,16 @@ def ep_pad(n: int) -> int:
     return p
 
 
-def to_device(g: HostGraph, max_entry_points: int | None = None) -> DeviceGraph:
+def to_device(
+    g: HostGraph, max_entry_points: int | None = None, link_slack: int = 0
+) -> DeviceGraph:
     """Upload a host graph into HBM arrays (the Reader::open / prefetch
     analogue — reference reader.rs:446-543 madvises pages; we materialise
     the whole index in HBM).
+
+    ``link_slack``: extra layer-0 link columns for build-time overflow
+    deferral (see wave_ops.prune_slack_rows) — the physical table becomes
+    ``[N_pad, M0 + slack]``; host rows land in the first M0 columns.
 
     HANNOY_TPU_BF16=1 stores f32 vectors as bfloat16 in HBM — halves the
     footprint and the beam gather bandwidth; distances upcast or use the
@@ -493,11 +499,19 @@ def to_device(g: HostGraph, max_entry_points: int | None = None) -> DeviceGraph:
         vectors_dev = jnp.asarray(vecs).astype(jnp.bfloat16)
     else:
         vectors_dev = jnp.asarray(vecs)
+    links0_h, dists0_h = g.links0, g.dists0
+    if link_slack:
+        links0_h = np.concatenate(
+            [links0_h, np.full((g.capacity, link_slack), -1, dtype=np.int32)], axis=1
+        )
+        dists0_h = np.concatenate(
+            [dists0_h, np.full((g.capacity, link_slack), np.inf, dtype=np.float32)], axis=1
+        )
     return DeviceGraph(
         vectors=vectors_dev,
         norms=jnp.asarray(g.norms),
-        links0=jnp.asarray(g.links0),
-        dists0=jnp.asarray(g.dists0),
+        links0=jnp.asarray(links0_h),
+        dists0=jnp.asarray(dists0_h),
         upper_links=jnp.asarray(up),
         upper_dists=jnp.asarray(ud),
         slot_rows=jnp.asarray(sr),
@@ -510,9 +524,13 @@ def to_device(g: HostGraph, max_entry_points: int | None = None) -> DeviceGraph:
 
 def from_device(g: HostGraph, dev: DeviceGraph) -> None:
     """Download mutated link arrays from HBM back into the host mirror
-    (builders donate arrays to device waves and sync back before flush)."""
-    g.links0 = np.array(dev.links0)  # copy: host code mutates these
-    g.dists0 = np.array(dev.dists0)
+    (builders donate arrays to device waves and sync back before flush).
+
+    A slack-widened device table is sliced back to M0 — callers must have
+    reduced rows to <= M0 live links first (wave_ops.prune_slack_rows);
+    rows are distance-sorted so live entries occupy the leading columns."""
+    g.links0 = np.array(dev.links0[:, : g.m0])  # copy: host code mutates these
+    g.dists0 = np.array(dev.dists0[:, : g.m0])
     up = np.asarray(dev.upper_links)
     ud = np.asarray(dev.upper_dists)
     for l in range(up.shape[0]):

@@ -201,9 +201,15 @@ def beam_search(
     node_ok: Optional[jax.Array] = None,
     level: int = 0,
     expand: int = 1,
+    traverse_k: Optional[int] = None,
 ) -> BeamResult:
     """Unfiltered beam search at ``level`` (hnsw.rs walk_layer semantics;
     builders run it per layer, searches at layer 0).
+
+    ``traverse_k``: expand only the first ``traverse_k`` (nearest — rows
+    are distance-sorted) links of each row. Builders pass the logical cap
+    when the device tables carry slack columns (see wave_ops), keeping the
+    hot vector gather at cap rows per expansion.
 
     ``node_ok``: optional [N_pad] bool replacing ``g.valid`` as the
     traversable-slot mask. Builders pass exists-and-not-deleted so entry
@@ -222,7 +228,9 @@ def beam_search(
         node_ok = g.valid
 
     pool_d, pool_id, pool_exp = _seed_pool(g, q, qn, start, ef, node_ok)
-    body, cond = _beam_step(g, q, qn, node_ok, ef, min(expand, ef), level, max_iters)
+    body, cond = _beam_step(
+        g, q, qn, node_ok, ef, min(expand, ef), level, max_iters, traverse_k
+    )
     pool_d, pool_id, pool_exp, iters = jax.lax.while_loop(
         cond, body, (pool_d, pool_id, pool_exp, jnp.int32(0))
     )
@@ -247,7 +255,17 @@ def _seed_pool(g: DeviceGraph, q, qn, start, ef: int, node_ok):
     return pool_d, pool_id, pool_exp
 
 
-def _beam_step(g: DeviceGraph, q, qn, node_ok, ef: int, E: int, level, max_iters: int):
+def _beam_step(
+    g: DeviceGraph,
+    q,
+    qn,
+    node_ok,
+    ef: int,
+    E: int,
+    level,
+    max_iters: int,
+    traverse_k: Optional[int] = None,
+):
     """(body, cond) for the beam while_loop over state
     (pool_d, pool_id, pool_exp, it) — shared between the one-shot search
     and the chunked/cancellable runner."""
@@ -274,7 +292,10 @@ def _beam_step(g: DeviceGraph, q, qn, node_ok, ef: int, E: int, level, max_iters
 
         cur = jnp.take_along_axis(pool_id, jnp.minimum(pos, ef - 1), axis=-1)  # [B, E]
         cur = jnp.where(active_e, cur, NO_ID)
-        nbs = links_at(g, level, cur.reshape(-1)).reshape(B, -1)  # [B, E*M]
+        ln = links_at(g, level, cur.reshape(-1))
+        if traverse_k is not None and traverse_k < ln.shape[-1]:
+            ln = ln[:, :traverse_k]  # rows are distance-sorted; slack cols skipped
+        nbs = ln.reshape(B, -1)  # [B, E*M]
         ok = (
             (nbs >= 0)
             & node_ok[jnp.maximum(nbs, 0)]

@@ -72,18 +72,20 @@ def _reduction(metric_name: str, q, rows):
 
 
 def _gather_reduce_kernel(metric_name, K, idx_ref, q_ref, vec_hbm, out_ref, scratch, sems):
-    """_QB queries per grid step: DMA their K rows each, reduce as they land."""
-    b = pl.program_id(0)
+    """_QB queries per grid step: DMA their K rows each, reduce as they land.
 
+    ``idx_ref`` is this step's [_QB, K] SMEM block (a whole-array scalar
+    prefetch would exceed the 1 MB SMEM at build batch sizes — 4096×32
+    indices is 2 MB of prefetched operand)."""
     for i in range(_QB):
         for j in range(K):
-            row = jnp.maximum(idx_ref[b * _QB + i, j], 0)
+            row = jnp.maximum(idx_ref[i, j], 0)
             pltpu.make_async_copy(
                 vec_hbm.at[row], scratch.at[i * K + j], sems.at[i * K + j]
             ).start()
     for i in range(_QB):
         for j in range(K):
-            row = jnp.maximum(idx_ref[b * _QB + i, j], 0)
+            row = jnp.maximum(idx_ref[i, j], 0)
             pltpu.make_async_copy(
                 vec_hbm.at[row], scratch.at[i * K + j], sems.at[i * K + j]
             ).wait()
@@ -111,23 +113,20 @@ def fused_gather_reduce(
     vec3 = vectors.reshape(N, C, 128)
     q3 = q.reshape(Bp, C, 128)
     kernel = functools.partial(_gather_reduce_kernel, metric_name, K)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    out = pl.pallas_call(
+        kernel,
         grid=(Bp // _QB,),
         in_specs=[
-            pl.BlockSpec((_QB, C, 128), lambda b, idx_ref: (b, 0, 0)),
+            pl.BlockSpec((_QB, K), lambda b: (b, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((_QB, C, 128), lambda b: (b, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((_QB, K), lambda b, idx_ref: (b, 0)),
+        out_specs=pl.BlockSpec((_QB, K), lambda b: (b, 0)),
+        out_shape=jax.ShapeDtypeStruct((Bp, K), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((_QB * K, C, 128), vectors.dtype),
             pltpu.SemaphoreType.DMA((_QB * K,)),
         ],
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Bp, K), jnp.float32),
     )(idx, q3, vec3)
     return out[:B]
 

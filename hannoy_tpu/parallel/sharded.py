@@ -48,12 +48,17 @@ class ShardedIndex:
         return self.ids.shape[0]
 
     @classmethod
-    def from_host_graphs(cls, graphs: list[HostGraph], mesh: Optional[Mesh] = None) -> "ShardedIndex":
+    def from_host_graphs(
+        cls,
+        graphs: list[HostGraph],
+        mesh: Optional[Mesh] = None,
+        link_slack: int = 0,
+    ) -> "ShardedIndex":
         """Stack per-shard host graphs (equal capacity/m0/levels required;
         the sharded builder guarantees this) and lay them over the mesh."""
         mesh = mesh or make_mesh(len(graphs))
         max_level = max(g.max_level for g in graphs)
-        devs = [to_device(g) for g in graphs]
+        devs = [to_device(g, link_slack=link_slack) for g in graphs]
         cap_u = max(d.upper_links.shape[1] for d in devs) if max_level else 1
         m = graphs[0].m
 
@@ -256,6 +261,36 @@ def partition_round_robin(n: int, n_shards: int) -> list[np.ndarray]:
     return [np.arange(s, n, n_shards) for s in range(n_shards)]
 
 
+def pad_to_common_shapes(graphs: list[HostGraph]) -> None:
+    """Equalise capacities/levels so shards stack into one SPMD layout."""
+    cap = max(g.capacity for g in graphs)
+    max_level = max(g.max_level for g in graphs)
+    for g in graphs:
+        g.grow(cap)
+        if g.capacity < cap:  # grow() snaps to buckets; force exact match
+            raise AssertionError("slot_capacity must align across shards")
+        # per-shard max_level stays untouched (single-index semantics);
+        # the stacked layout pads shallower shards with empty upper rows,
+        # which descent falls through harmlessly
+        g.ensure_layers(max_level)
+    # upper tables: equal row counts per level
+    for l in range(max_level):
+        rows = max(
+            (g.upper_links[l].shape[0] if l < len(g.upper_links) else 1)
+            for g in graphs
+        )
+        for g in graphs:
+            cur = g.upper_links[l].shape[0]
+            if cur < rows:
+                pad = rows - cur
+                g.upper_links[l] = np.concatenate(
+                    [g.upper_links[l], np.full((pad, g.m), -1, dtype=np.int32)]
+                )
+                g.upper_dists[l] = np.concatenate(
+                    [g.upper_dists[l], np.full((pad, g.m), np.inf, dtype=np.float32)]
+                )
+
+
 def build_sharded(
     metric: distances.Metric,
     data: np.ndarray,  # [N, D] float32
@@ -266,20 +301,30 @@ def build_sharded(
     opts=None,
     mesh: Optional[Mesh] = None,
 ) -> ShardedIndex:
-    """Build S independent per-shard sub-HNSWs and lay them over the mesh.
+    """Build S independent per-shard sub-HNSWs with lockstep SPMD waves.
 
-    Construction is embarrassingly parallel across shards; each shard runs
-    the wave builder over its slice. All shards are padded to identical
-    array shapes so one SPMD program serves every device.
+    The multi-chip form of the reference's one parallel-build mechanism
+    (rayon insertion, hnsw.rs:168-185): every device inserts a wave into
+    its own sub-graph simultaneously under ``shard_map`` — the host only
+    composes the per-shard schedules and drives level-descending wave
+    steps; all candidate search / prune / link work happens on all chips
+    at once. Sub-graphs are independent, so construction needs no
+    cross-chip traffic; search fans out and merges with collectives.
     """
     from ..build import builder as _builder
+    from ..build.builder import FLAT_BOOTSTRAP, _WAVE_BUCKETS
     from ..models.hnsw import slot_capacity
+    from ..utils.stats import BuildStats
 
     opts = opts or _builder.BuildOptions()
     n = data.shape[0]
-    parts = partition_round_robin(n, n_shards)
+    S = n_shards
+    parts = partition_round_robin(n, S)
     cap = slot_capacity(max(len(p) for p in parts))
+
+    # ---- stage per-shard host graphs + host build plans ----
     graphs: list[HostGraph] = []
+    plans = []
     for part in parts:
         g = HostGraph.empty(metric, data.shape[1], m, m0, capacity=cap)
         packed = codecs.pack(data[part], metric.codec)
@@ -290,8 +335,70 @@ def build_sharded(
             slots[i] = s
             g.vectors[s] = packed[i]
             g.norms[s] = nrm[i]
-        _builder.build_graph(g, slots, np.empty(0, dtype=np.int64), opts)
+        plan = _builder.plan_build(g, slots, np.empty(0, dtype=np.int64), opts, BuildStats())
         graphs.append(g)
+        plans.append(plan)
+    pad_to_common_shapes(graphs)
+    max_level = max(g.max_level for g in graphs)
+    slack = opts.link_slack
+
+    index = ShardedIndex.from_host_graphs(graphs, mesh=mesh, link_slack=slack)
+    mesh = index.mesh
+    shard = NamedSharding(mesh, P(SHARD_AXIS))
+    index.arrays["valid"] = jax.device_put(
+        jnp.asarray(np.stack([p[2] for p in plans])), shard
+    )
+    node_ok = jax.device_put(jnp.asarray(np.stack([p[3] for p in plans])), shard)
+
+    # ---- lockstep level-descending waves (builder.build_graph shape) ----
+    sched = [
+        {int(lv): p[0][p[1] == lv] for lv in np.unique(p[1])} for p in plans
+    ]
+    n_active = [int(p[2].sum()) for p in plans]
+    W = opts.wave_size
+    for lv in range(max_level, -1, -1):
+        grps = [s.get(lv, np.empty(0, dtype=np.int64)) for s in sched]
+        offs = [0] * S
+        while any(offs[s] < len(grps[s]) for s in range(S)):
+            if opts.cancel():
+                from ..errors import BuildCancelled
+
+                raise BuildCancelled()
+            w_i = min(W, max(16, min(n_active) // 4))
+            w_pad = 16
+            for b in _WAVE_BUCKETS:
+                if b <= w_i:
+                    w_pad = b
+            w_pad = min(w_pad, W)
+            use_flat = min(n_active) <= FLAT_BOOTSTRAP
+            wave = np.full((S, w_pad), -1, dtype=np.int32)
+            for s in range(S):
+                chunk = grps[s][offs[s] : offs[s] + w_pad]
+                wave[s, : len(chunk)] = chunk
+                offs[s] += len(chunk)
+                n_active[s] += len(chunk)
+            index = sharded_insert_wave(
+                index,
+                wave,
+                node_ok=node_ok,
+                lv=lv,
+                ef=opts.ef_construction,
+                cap=m0,
+                alpha=opts.alpha,
+                flat=use_flat,
+            )
+
+    # ---- reduce slack rows, download, restack at serving width ----
+    if slack:
+        index = _spmd_prune_slack(index, cap=m0, alpha=opts.alpha)
+    arrays = {k: np.asarray(v) for k, v in index.arrays.items()}
+    for s, g in enumerate(graphs):
+        g.links0 = arrays["links0"][s][:, :m0].copy()
+        g.dists0 = arrays["dists0"][s][:, :m0].copy()
+        for l in range(len(g.upper_links)):
+            rows = g.upper_links[l].shape[0]
+            g.upper_links[l] = arrays["upper_links"][s][l, :rows].copy()
+            g.upper_dists[l] = arrays["upper_dists"][s][l, :rows].copy()
     return ShardedIndex.from_host_graphs(graphs, mesh=mesh)
 
 
@@ -301,26 +408,84 @@ def sharded_insert_wave(
     ef: int,
     cap: int,
     alpha: float = 1.0,
+    node_ok: Optional[jax.Array] = None,  # [S, N_pad]
+    lv: int = 0,
+    flat: bool = False,
 ) -> ShardedIndex:
     """One SPMD construction wave across every shard simultaneously —
-    the multi-chip *training step* equivalent: each device searches its
-    local sub-graph, prunes, and scatters links, with no cross-chip
+    the multi-chip *training step* equivalent: each device descends to the
+    wave's level, then runs the per-level beam → α-prune → link chain of
+    ``builder._insert_wave`` on its local sub-graph, with no cross-chip
     traffic (sub-graphs are independent)."""
+    if node_ok is None:
+        node_ok = index.arrays["valid"] | jax.vmap(
+            lambda w: _slots_mask(index.arrays["valid"].shape[1], w)
+        )(jnp.asarray(wave_slots))
+    new_arrays = _sharded_insert_wave_jit(
+        index.mesh,
+        index.metric_name,
+        index.max_level,
+        index.arrays,
+        jnp.asarray(wave_slots),
+        node_ok,
+        lv=lv,
+        ef=ef,
+        cap=cap,
+        alpha=alpha,
+        flat=flat,
+    )
+    return ShardedIndex(mesh=index.mesh, stacked=new_arrays, ids=index.ids,
+                        metric_name=index.metric_name, max_level=index.max_level)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "metric_name", "max_level", "lv", "ef", "cap", "alpha", "flat"),
+    donate_argnums=(3,),
+)
+def _sharded_insert_wave_jit(
+    mesh: Mesh,
+    metric_name: str,
+    max_level: int,
+    arrays: dict,
+    wave_slots: jax.Array,  # [S, W]
+    node_ok: jax.Array,  # [S, N_pad]
+    lv: int,
+    ef: int,
+    cap: int,
+    alpha: float,
+    flat: bool,
+):
     from ..build import wave_ops
 
-    metric_name, max_level = index.metric_name, index.max_level
-    mesh = index.mesh
-    spec_arrays = {name: P(SHARD_AXIS) for name in index.arrays}
+    spec_arrays = {name: P(SHARD_AXIS) for name in arrays}
 
-    def per_shard(arrays, waves):
+    def per_shard(arrays, waves, ok):
         g = _local_graph(arrays, metric_name, max_level)
         w = waves[0]
-        seeds = jnp.broadcast_to(g.entry_slots[None, :], (w.shape[0], g.entry_slots.shape[0]))
-        node_ok = g.valid | _slots_mask(g.capacity, w)
-        res = wave_ops.wave_insert_level(
-            g, w, seeds, node_ok, jnp.int32(0), is_level0=True, ef=ef, cap=cap, alpha=alpha
-        )
-        g2 = wave_ops.activate_wave(res.graph, w)
+        ok = ok[0]
+        if max_level > lv and not flat:
+            seeds = beam.descend_for_slots(g, w, max_level, lv + 1)
+        else:
+            seeds = jnp.broadcast_to(
+                g.entry_slots[None, :], (w.shape[0], g.entry_slots.shape[0])
+            )
+        for level in range(min(lv, max_level), -1, -1):
+            level_cap = cap if level == 0 else g.upper_links.shape[-1]
+            res = wave_ops.wave_insert_level(
+                g,
+                w,
+                seeds,
+                ok,
+                jnp.int32(level),
+                is_level0=(level == 0),
+                ef=ef,
+                cap=level_cap,
+                alpha=alpha,
+                flat=flat,
+            )
+            g, seeds = res.graph, res.selected
+        g2 = wave_ops.activate_wave(g, w)
         return {
             "vectors": g2.vectors[None],
             "norms": g2.norms[None],
@@ -333,15 +498,52 @@ def sharded_insert_wave(
             "valid": g2.valid[None],
         }
 
-    new_arrays = jax.jit(
-        _shard_map(
-            per_shard,
-            mesh=mesh,
-            in_specs=(spec_arrays, P(SHARD_AXIS)),
-            out_specs={name: P(SHARD_AXIS) for name in index.arrays},
-        )
-    )(index.arrays, jnp.asarray(wave_slots))
-    return ShardedIndex(mesh, new_arrays, index.ids, metric_name, max_level)
+    return _shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(spec_arrays, P(SHARD_AXIS), P(SHARD_AXIS)),
+        out_specs={name: P(SHARD_AXIS) for name in arrays},
+    )(arrays, wave_slots, node_ok)
+
+
+def _spmd_prune_slack(index: ShardedIndex, cap: int, alpha: float) -> ShardedIndex:
+    """Shard-parallel build finalisation: α-prune slack-widened layer-0
+    rows back to ``cap`` on every device at once (wave_ops.prune_slack_rows
+    per shard)."""
+    new_arrays = _spmd_prune_slack_jit(
+        index.mesh, index.metric_name, index.max_level, index.arrays, cap=cap, alpha=alpha
+    )
+    return ShardedIndex(mesh=index.mesh, stacked=new_arrays, ids=index.ids,
+                        metric_name=index.metric_name, max_level=index.max_level)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "metric_name", "max_level", "cap", "alpha"),
+    donate_argnums=(3,),
+)
+def _spmd_prune_slack_jit(
+    mesh: Mesh, metric_name: str, max_level: int, arrays: dict, cap: int, alpha: float
+):
+    from ..build import wave_ops
+
+    spec_arrays = {name: P(SHARD_AXIS) for name in arrays}
+
+    def per_shard(arrays):
+        g = _local_graph(arrays, metric_name, max_level)
+        dirty = jnp.zeros((g.capacity,), dtype=bool)
+        g2, _ = wave_ops.prune_slack_rows(g, dirty, cap=cap, alpha=alpha)
+        out = dict(arrays)
+        out["links0"] = g2.links0[None]
+        out["dists0"] = g2.dists0[None]
+        return out
+
+    return _shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(spec_arrays,),
+        out_specs={name: P(SHARD_AXIS) for name in arrays},
+    )(arrays)
 
 
 def _slots_mask(capacity: int, slots: jax.Array) -> jax.Array:

@@ -22,7 +22,7 @@ from jax.sharding import Mesh
 from ..api import Database, Reader, Writer
 from ..models.hnsw import HostGraph
 from .mesh import make_mesh
-from .sharded import ShardedIndex
+from .sharded import ShardedIndex, pad_to_common_shapes as _pad_to_common_shapes
 
 
 def shard_of(item_id: int, n_shards: int) -> int:
@@ -129,33 +129,3 @@ class ShardedReader:
     def assert_validity(self) -> None:
         for r in self._readers:
             r.assert_validity()
-
-
-def _pad_to_common_shapes(graphs: list[HostGraph]) -> None:
-    """Equalise capacities/levels so shards stack into one SPMD layout."""
-    cap = max(g.capacity for g in graphs)
-    max_level = max(g.max_level for g in graphs)
-    for g in graphs:
-        g.grow(cap)
-        if g.capacity < cap:  # grow() snaps to buckets; force exact match
-            raise AssertionError("slot_capacity must align across shards")
-        # per-shard max_level stays untouched (single-index semantics);
-        # the stacked layout pads shallower shards with empty upper rows,
-        # which descent falls through harmlessly
-        g.ensure_layers(max_level)
-    # upper tables: equal row counts per level
-    for l in range(max_level):
-        rows = max(
-            (g.upper_links[l].shape[0] if l < len(g.upper_links) else 1)
-            for g in graphs
-        )
-        for g in graphs:
-            cur = g.upper_links[l].shape[0]
-            if cur < rows:
-                pad = rows - cur
-                g.upper_links[l] = np.concatenate(
-                    [g.upper_links[l], np.full((pad, g.m), -1, dtype=np.int32)]
-                )
-                g.upper_dists[l] = np.concatenate(
-                    [g.upper_dists[l], np.full((pad, g.m), np.inf, dtype=np.float32)]
-                )

@@ -47,19 +47,42 @@ def test_sharded_results_are_replicated_consistent(mesh, rng):
     assert ids1[0, 0] == 0
 
 
-def test_sharded_insert_wave_executes(mesh, rng):
-    """SPMD wave insert across all shards — the multi-chip build step."""
-    n, d = 800, 8
-    data = rng.standard_normal((n + 64, d)).astype(np.float32)
+def test_sharded_insert_wave_inserts_searchable_items(mesh, rng):
+    """SPMD wave insert across all shards — the multi-chip build step.
+
+    Items staged into free slots and inserted *only* through
+    ``sharded_insert_wave`` must come back from the sharded search
+    (VERDICT r1 item 2: the wave path has to really insert)."""
+    import jax.numpy as jnp
+
+    n, d, S = 800, 8, 8
+    data = rng.standard_normal((n, d)).astype(np.float32)
     idx = build_sharded(
-        EUCLIDEAN, data[:n], np.arange(n), m=8, m0=16, n_shards=8,
+        EUCLIDEAN, data, np.arange(n), m=8, m0=16, n_shards=S,
         opts=BuildOptions(ef_construction=32, wave_size=64), mesh=mesh,
     )
-    # stage one fresh wave of 8 slots per shard is beyond scope here: reuse
-    # existing slots as a smoke test that the SPMD step compiles + runs
-    wave = np.full((8, 8), -1, dtype=np.int32)
+    per = n // S
+    extra = rng.standard_normal((S, 4, d)).astype(np.float32) + 10.0  # far cluster
+    wave = np.zeros((S, 4), dtype=np.int32)
+    new_ids = np.zeros((S, 4), dtype=np.uint32)
+    vecs, nrms, ids_arr = idx.arrays["vectors"], idx.arrays["norms"], idx.ids
+    for s in range(S):
+        for j in range(4):
+            slot, gid = per + j, n + s * 4 + j
+            wave[s, j], new_ids[s, j] = slot, gid
+            vecs = vecs.at[s, slot].set(jnp.asarray(extra[s, j]))
+            ids_arr = ids_arr.at[s, slot].set(np.uint32(gid))
+    idx.arrays["vectors"], idx.arrays["norms"], idx.ids = vecs, nrms, ids_arr
     out = sharded_insert_wave(idx, wave, ef=32, cap=16)
     assert out.arrays["links0"].shape == idx.ids.shape + (16,)
+
+    got, gd = out.search(extra.reshape(-1, d), k=1, ef=32)
+    assert np.array_equal(got[:, 0], new_ids.reshape(-1))
+    assert (gd[:, 0] < 1e-5).all()
+    # the new far cluster must also be reachable from ordinary queries
+    probe = extra.reshape(-1, d)[:3] + 0.01
+    got2, _ = out.search(probe, k=3, ef=32)
+    assert set(got2[:, 0].tolist()) <= set(new_ids.reshape(-1).tolist())
 
 
 def test_store_backed_sharded_deployment(tmp_path, mesh, rng):
