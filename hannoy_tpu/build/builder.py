@@ -70,6 +70,15 @@ class BuildOptions:
     #: distance-truncated rows), so 0 is the default and the knob exists
     #: for experimentation only.
     link_slack: int = 0
+    #: pool entries expanded per construction-beam iteration (reference
+    #: pops one per hop). E>1 gathers E rows' neighborhoods per iteration
+    #: and divides the iteration budget by E — fewer sort/merge passes for
+    #: the same candidate work.
+    beam_expand: int = 1
+    #: construction-beam iteration budget (None → (ef+16)/beam_expand).
+    #: The v5e sweep lives in BENCH_NOTES.md; recall falls off a cliff
+    #: below ~ef/2 expansions total.
+    beam_iters: Optional[int] = None
 
 
 def prepare_entry_points(
@@ -331,6 +340,8 @@ def _insert_wave(
             cap=cap,
             alpha=opts.alpha,
             flat=use_flat,
+            expand=opts.beam_expand,
+            beam_iters=opts.beam_iters,
         )
         seeds = selected
     return dev, dirty, counters

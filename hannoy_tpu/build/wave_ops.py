@@ -122,7 +122,7 @@ def _replace(g: DeviceGraph, **kw) -> DeviceGraph:
 
 @partial(
     jax.jit,
-    static_argnames=("is_level0", "ef", "cap", "alpha", "inc_cap", "flat"),
+    static_argnames=("is_level0", "ef", "cap", "alpha", "inc_cap", "flat", "expand", "beam_iters"),
     donate_argnames=("g", "dirty", "counters"),
 )
 def wave_insert_level(
@@ -139,6 +139,8 @@ def wave_insert_level(
     alpha: float = 1.0,
     inc_cap: int = 16,
     flat: bool = False,
+    expand: int = 1,
+    beam_iters: int | None = None,
 ) -> WaveLevelResult:
     """Insert one wave at one level (the batched hnsw.rs:312-327 body).
 
@@ -185,9 +187,10 @@ def wave_insert_level(
         # iteration cap; ef + 16 expansions is enough for candidate quality
         # (the alpha-prune keeps only `cap` of them anyway). traverse_k
         # keeps the hot gather at `cap` rows when tables carry slack.
+        mi = beam_iters if beam_iters is not None else (ef + 16 + expand - 1) // expand
         res = beam.beam_search(
-            g, q, qn, seeds, ef, max_iters=ef + 16, node_ok=node_ok, level=level,
-            traverse_k=cap if is_level0 else None,
+            g, q, qn, seeds, ef, max_iters=mi, node_ok=node_ok, level=level,
+            expand=expand, traverse_k=cap if is_level0 else None,
         )
         cand_ids, cand_d = res.slots, res.dists
         width = int(cap if is_level0 else g.upper_links.shape[-1])

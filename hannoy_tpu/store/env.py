@@ -393,6 +393,13 @@ class Env:
             f.flush()
             os.fsync(f.fileno())
         self._log.close()
+        # a rewritten prefix invalidates the native backend's reopen
+        # snapshot (hannoy.snap probes the old prefix) — drop it so a later
+        # native open falls back to a full replay instead of a stale cache
+        try:
+            os.unlink(os.path.join(os.path.dirname(self._log_path), "hannoy.snap"))
+        except FileNotFoundError:
+            pass
         # exclusivity is held by the sidecar lock throughout the rename
         os.replace(tmp, self._log_path)
         self._log = open(self._log_path, "ab")

@@ -85,10 +85,12 @@ struct Overlay {
 
 struct Env {
   std::string log_path;
+  std::string snap_path;
   FILE* log = nullptr;
   int lock_fd = -1;  // sidecar hannoy.lock, held for the env's lifetime
   uint64_t map_size = 0;
   std::atomic<uint64_t> live_bytes{0};
+  std::atomic<uint64_t> snap_covered{0};  // log bytes covered by hannoy.snap
   GenPtr gen;
   std::mutex write_mu;   // single writer
   std::mutex swap_mu;    // generation swap
@@ -102,30 +104,52 @@ struct Txn {
 };
 
 // ---------------------------------------------------------------------------
-// Log replay / append (format identical to env.py)
+// Log replay / append (format identical to env.py) + snapshot sidecar
 // ---------------------------------------------------------------------------
 
-bool replay_log(Env* env) {
-  auto gen = std::make_shared<Generation>();
-  FILE* f = fopen(env->log_path.c_str(), "rb");
-  if (!f) {
-    env->gen = gen;
-    return true;  // fresh store
-  }
-  fseek(f, 0, SEEK_END);
-  long size = ftell(f);
-  fseek(f, 0, SEEK_SET);
-  std::vector<uint8_t> data(size);
-  if (size && fread(data.data(), 1, size, f) != (size_t)size) {
-    fclose(f);
-    env->error = "short read on log";
-    return false;
-  }
-  fclose(f);
+using OvTable = std::map<uint64_t, std::pair<bool, std::string>>;
 
-  // temp mutable tables as std::map for O(log n) replay, sort once at end
-  std::map<std::string, std::map<uint64_t, std::string>> tmp;
-  uint64_t live = 0;
+// Merge a (key → put/tombstone) overlay into a sorted table, adjusting the
+// live-byte counter. Shared by commit and log replay.
+void merge_into(Table& table, const OvTable& ov, uint64_t& live) {
+  std::vector<uint64_t> keys;
+  std::vector<std::string> values;
+  keys.reserve(table.keys.size() + ov.size());
+  values.reserve(keys.capacity());
+  size_t i = 0;
+  auto it = ov.begin();
+  while (i < table.keys.size() || it != ov.end()) {
+    bool take_old;
+    if (i >= table.keys.size()) take_old = false;
+    else if (it == ov.end()) take_old = true;
+    else take_old = table.keys[i] < it->first;
+    if (take_old) {
+      keys.push_back(table.keys[i]);
+      values.push_back(std::move(table.values[i]));
+      i++;
+    } else {
+      bool replace = i < table.keys.size() && table.keys[i] == it->first;
+      if (replace) {
+        live -= 24 + table.values[i].size();
+        i++;
+      }
+      if (it->second.first) {
+        live += 24 + it->second.second.size();
+        keys.push_back(it->first);
+        values.push_back(it->second.second);
+      }
+      ++it;
+    }
+  }
+  table.keys = std::move(keys);
+  table.values = std::move(values);
+}
+
+// Parse committed batches from `data` (log bytes starting at absolute
+// offset `base`) into per-table overlays; returns the absolute offset of
+// the last complete batch.
+uint64_t parse_batches(const std::vector<uint8_t>& data, uint64_t base,
+                       std::map<std::string, OvTable>& out) {
   size_t pos = 0, valid_end = 0;
   while (pos + 9 <= data.size()) {
     if (memcmp(&data[pos], kMagic, 4) != 0) break;
@@ -140,7 +164,7 @@ bool replay_log(Env* env) {
       p += 3;
       std::string name((const char*)&data[p], nlen);
       p += nlen;
-      auto& table = tmp[name];
+      auto& table = out[name];
       if (op == kOpPut) {
         uint16_t klen = (data[p] << 8) | data[p + 1];
         uint32_t vlen = (data[p + 2] << 24) | (data[p + 3] << 16) |
@@ -148,44 +172,226 @@ bool replay_log(Env* env) {
         p += 6;
         uint64_t key = key_to_u64(&data[p]);
         p += klen;
-        std::string val((const char*)&data[p], vlen);
+        table[key] = {true, std::string((const char*)&data[p], vlen)};
         p += vlen;
-        auto it = table.find(key);
-        if (it != table.end()) live -= 24 + it->second.size();
-        live += 24 + val.size();
-        table[key] = std::move(val);
       } else {
         uint16_t klen = (data[p] << 8) | data[p + 1];
         p += 2;
         uint64_t key = key_to_u64(&data[p]);
         p += klen;
-        auto it = table.find(key);
-        if (it != table.end()) {
-          live -= 24 + it->second.size();
-          table.erase(it);
-        }
+        table[key] = {false, std::string()};
       }
     }
     valid_end = end;
     pos = end;
   }
-  if (valid_end < data.size()) {
+  return base + valid_end;
+}
+
+// --- snapshot sidecar ("hannoy.snap") --------------------------------------
+// A native-only reopen cache: the full sorted table set as flat arrays, so
+// opening a big store is a sequential read of the snapshot plus a replay of
+// only the log *suffix* written after it — the role LMDB's B-tree pages
+// play for the reference (no full-log replay on open). Validity is probed
+// against the append-only log prefix it covers (head bytes + FNV-1a of the
+// last 64 KiB); compaction rewrites the prefix and therefore the snapshot.
+// Host-endian: this file never moves between machines (delete to rebuild).
+
+constexpr char kSnapMagic[4] = {'H', 'N', 'Y', 'S'};
+constexpr uint8_t kSnapVersion = 1;
+constexpr size_t kSnapProbeTail = 65536;
+
+uint64_t fnv1a(const uint8_t* p, size_t n) {
+  uint64_t h = 1469598103934665603ULL;
+  for (size_t i = 0; i < n; i++) {
+    h ^= p[i];
+    h *= 1099511628211ULL;
+  }
+  return h;
+}
+
+// Reads head/tail probe bytes of the first `covered` bytes of the log.
+bool log_probes(const std::string& log_path, uint64_t covered, uint8_t head[16],
+                uint32_t* head_len, uint64_t* tail_hash) {
+  FILE* f = fopen(log_path.c_str(), "rb");
+  if (!f) return false;
+  *head_len = (uint32_t)std::min<uint64_t>(16, covered);
+  if (*head_len && fread(head, 1, *head_len, f) != *head_len) {
+    fclose(f);
+    return false;
+  }
+  size_t tail_n = (size_t)std::min<uint64_t>(kSnapProbeTail, covered);
+  std::vector<uint8_t> tail(tail_n);
+  if (tail_n) {
+    if (fseek(f, (long)(covered - tail_n), SEEK_SET) != 0 ||
+        fread(tail.data(), 1, tail_n, f) != tail_n) {
+      fclose(f);
+      return false;
+    }
+  }
+  fclose(f);
+  *tail_hash = fnv1a(tail.data(), tail_n);
+  return true;
+}
+
+template <typename T>
+bool fread_vec(FILE* f, T* out, size_t n) {
+  return n == 0 || fread(out, sizeof(T), n, f) == n;
+}
+
+// Attempts to seed `gen`/`live` from hannoy.snap. Returns covered log
+// bytes on success, 0 otherwise (caller replays the whole log).
+uint64_t try_load_snapshot(Env* env, Generation* gen, uint64_t* live,
+                           uint64_t log_size) {
+  FILE* f = fopen(env->snap_path.c_str(), "rb");
+  if (!f) return 0;
+  char magic[4];
+  uint8_t ver = 0;
+  uint64_t covered = 0, tail_hash = 0;
+  uint32_t head_len = 0, n_tables = 0;
+  uint8_t head[16];
+  bool ok = fread(magic, 1, 4, f) == 4 && memcmp(magic, kSnapMagic, 4) == 0 &&
+            fread(&ver, 1, 1, f) == 1 && ver == kSnapVersion &&
+            fread_vec(f, &covered, 1) && fread_vec(f, &tail_hash, 1) &&
+            fread_vec(f, &head_len, 1) && head_len <= 16 &&
+            fread(head, 1, 16, f) == 16 && fread_vec(f, &n_tables, 1);
+  if (ok && covered <= log_size) {
+    uint8_t cur_head[16];
+    uint32_t cur_head_len = 0;
+    uint64_t cur_tail = 0;
+    ok = log_probes(env->log_path, covered, cur_head, &cur_head_len, &cur_tail) &&
+         cur_head_len == head_len && memcmp(cur_head, head, head_len) == 0 &&
+         cur_tail == tail_hash;
+  } else {
+    ok = false;
+  }
+  if (!ok) {
+    fclose(f);
+    return 0;
+  }
+  for (uint32_t t = 0; ok && t < n_tables; t++) {
+    uint16_t nlen = 0;
+    uint64_t nrows = 0, blob_bytes = 0;
+    ok = fread_vec(f, &nlen, 1);
+    std::string name(nlen, '\0');
+    ok = ok && fread(name.data(), 1, nlen, f) == nlen && fread_vec(f, &nrows, 1) &&
+         fread_vec(f, &blob_bytes, 1);
+    if (!ok) break;
+    Table table;
+    table.keys.resize(nrows);
+    std::vector<uint32_t> lens(nrows);
+    std::vector<char> blob(blob_bytes);
+    ok = fread_vec(f, table.keys.data(), nrows) && fread_vec(f, lens.data(), nrows) &&
+         fread_vec(f, blob.data(), blob_bytes);
+    if (!ok) break;
+    table.values.reserve(nrows);
+    size_t off = 0;
+    for (uint64_t i = 0; i < nrows; i++) {
+      if (off + lens[i] > blob_bytes) {
+        ok = false;
+        break;
+      }
+      table.values.emplace_back(blob.data() + off, lens[i]);
+      *live += 24 + lens[i];
+      off += lens[i];
+    }
+    if (ok) gen->tables.emplace(std::move(name), std::move(table));
+  }
+  fclose(f);
+  if (!ok) {
+    gen->tables.clear();
+    *live = 0;
+    return 0;
+  }
+  return covered;
+}
+
+// Writes hannoy.snap for the current generation; caller holds write_mu.
+int write_snapshot_locked(Env* env) {
+  GenPtr gen;
+  {
+    std::lock_guard<std::mutex> s(env->swap_mu);
+    gen = env->gen;
+  }
+  if (env->log) fflush(env->log);
+  struct stat st;
+  uint64_t covered = (stat(env->log_path.c_str(), &st) == 0) ? (uint64_t)st.st_size : 0;
+  uint8_t head[16] = {0};
+  uint32_t head_len = 0;
+  uint64_t tail_hash = fnv1a(nullptr, 0);
+  if (covered && !log_probes(env->log_path, covered, head, &head_len, &tail_hash))
+    return -2;
+  std::string tmp = env->snap_path + ".tmp";
+  FILE* f = fopen(tmp.c_str(), "wb");
+  if (!f) return -2;
+  uint32_t n_tables = (uint32_t)gen->tables.size();
+  bool ok = fwrite(kSnapMagic, 1, 4, f) == 4 && fwrite(&kSnapVersion, 1, 1, f) == 1 &&
+            fwrite(&covered, 8, 1, f) == 1 && fwrite(&tail_hash, 8, 1, f) == 1 &&
+            fwrite(&head_len, 4, 1, f) == 1 && fwrite(head, 1, 16, f) == 16 &&
+            fwrite(&n_tables, 4, 1, f) == 1;
+  for (const auto& [name, table] : gen->tables) {
+    if (!ok) break;
+    uint16_t nlen = (uint16_t)name.size();
+    uint64_t nrows = table.keys.size(), blob_bytes = 0;
+    std::vector<uint32_t> lens(nrows);
+    for (uint64_t i = 0; i < nrows; i++) {
+      lens[i] = (uint32_t)table.values[i].size();
+      blob_bytes += lens[i];
+    }
+    ok = fwrite(&nlen, 2, 1, f) == 1 && fwrite(name.data(), 1, nlen, f) == nlen &&
+         fwrite(&nrows, 8, 1, f) == 1 && fwrite(&blob_bytes, 8, 1, f) == 1 &&
+         (nrows == 0 || (fwrite(table.keys.data(), 8, nrows, f) == nrows &&
+                         fwrite(lens.data(), 4, nrows, f) == nrows));
+    for (uint64_t i = 0; ok && i < nrows; i++)
+      ok = table.values[i].empty() ||
+           fwrite(table.values[i].data(), 1, lens[i], f) == lens[i];
+  }
+  ok = ok && fflush(f) == 0 && fsync(fileno(f)) == 0;
+  fclose(f);
+  if (!ok || rename(tmp.c_str(), env->snap_path.c_str()) != 0) {
+    unlink(tmp.c_str());
+    return -2;
+  }
+  env->snap_covered = covered;
+  return 0;
+}
+
+bool replay_log(Env* env) {
+  auto gen = std::make_shared<Generation>();
+  uint64_t live = 0;
+  struct stat st;
+  if (stat(env->log_path.c_str(), &st) != 0) {
+    env->gen = gen;
+    return true;  // fresh store
+  }
+  uint64_t size = (uint64_t)st.st_size;
+  uint64_t start = try_load_snapshot(env, gen.get(), &live, size);
+  env->snap_covered = start;
+
+  FILE* f = fopen(env->log_path.c_str(), "rb");
+  if (!f) {
+    env->error = "cannot read log";
+    return false;
+  }
+  std::vector<uint8_t> data(size - start);
+  bool read_ok = fseek(f, (long)start, SEEK_SET) == 0 &&
+                 (data.empty() || fread(data.data(), 1, data.size(), f) == data.size());
+  fclose(f);
+  if (!read_ok) {
+    env->error = "short read on log";
+    return false;
+  }
+
+  std::map<std::string, OvTable> suffix;
+  uint64_t valid_end = parse_batches(data, start, suffix);
+  if (valid_end < size) {
     // torn tail from a crash — truncate so future appends start clean
     if (truncate(env->log_path.c_str(), valid_end) != 0) {
       env->error = "failed to truncate torn log tail";
       return false;
     }
   }
-  for (auto& [name, m] : tmp) {
-    Table t;
-    t.keys.reserve(m.size());
-    t.values.reserve(m.size());
-    for (auto& [k, v] : m) {
-      t.keys.push_back(k);
-      t.values.push_back(std::move(v));
-    }
-    gen->tables.emplace(name, std::move(t));
-  }
+  for (auto& [name, ov] : suffix) merge_into(gen->tables[name], ov, live);
   env->live_bytes = live;
   env->gen = gen;
   return true;
@@ -243,6 +449,7 @@ Env* hny_open(const char* dir, uint64_t map_size) {
   std::string d(dir);
   ::mkdir(d.c_str(), 0755);
   env->log_path = d + "/hannoy.log";
+  env->snap_path = d + "/hannoy.snap";
   env->map_size = map_size;
   if (!replay_log(env)) {
     delete env;
@@ -387,6 +594,8 @@ int64_t hny_get(Txn* t, const char* name, const uint8_t* key, uint8_t* out,
 // Prefix scan: fills up to cap keys (u64 host order) that fall inside
 // [lo, hi); returns the number written and sets *more if truncated.
 // Write transactions see their overlay merged in.
+// hi == 0 means "no upper bound" (callers' full-range scans wrap 2^64
+// through the u64 ABI; a literal [lo, 0) range is vacuous anyway).
 int64_t hny_scan_keys(Txn* t, const char* name, uint64_t lo, uint64_t hi,
                       uint64_t* out_keys, int64_t cap, int* more) {
   *more = 0;
@@ -395,14 +604,14 @@ int64_t hny_scan_keys(Txn* t, const char* name, uint64_t lo, uint64_t hi,
   if (gt != t->gen->tables.end()) {
     const auto& keys = gt->second.keys;
     auto a = std::lower_bound(keys.begin(), keys.end(), lo);
-    auto b = std::lower_bound(keys.begin(), keys.end(), hi);
+    auto b = hi ? std::lower_bound(keys.begin(), keys.end(), hi) : keys.end();
     merged.assign(a, b);
   }
   if (t->overlay) {
     auto ot = t->overlay->tables.find(name);
     if (ot != t->overlay->tables.end()) {
       for (auto it = ot->second.lower_bound(lo);
-           it != ot->second.end() && it->first < hi; ++it) {
+           it != ot->second.end() && (hi == 0 || it->first < hi); ++it) {
         auto pos = std::lower_bound(merged.begin(), merged.end(), it->first);
         bool present = pos != merged.end() && *pos == it->first;
         if (it->second.first) {
@@ -443,15 +652,16 @@ int64_t hny_scan_vals(Txn* t, const char* name, uint64_t lo, uint64_t hi,
   if (table) {
     gi = std::lower_bound(table->keys.begin(), table->keys.end(), lo) -
          table->keys.begin();
-    gn = std::lower_bound(table->keys.begin(), table->keys.end(), hi) -
-         table->keys.begin();
+    gn = hi ? std::lower_bound(table->keys.begin(), table->keys.end(), hi) -
+                  table->keys.begin()
+            : table->keys.size();
   }
   auto oi = ov ? ov->lower_bound(lo) : std::map<uint64_t, std::pair<bool, std::string>>::const_iterator();
   int64_t n = 0;
   uint64_t used = 0;
   while (true) {
     bool g_ok = table && gi < gn;
-    bool o_ok = ov && oi != ov->end() && oi->first < hi;
+    bool o_ok = ov && oi != ov->end() && (hi == 0 || oi->first < hi);
     if (!g_ok && !o_ok) break;
     uint64_t key;
     const std::string* val = nullptr;
@@ -506,41 +716,8 @@ int hny_commit(Txn* t) {
   next->gen_id = env->gen->gen_id + 1;
   next->tables = env->gen->tables;  // copy (tables are value types)
   uint64_t live = env->live_bytes.load();
-  for (auto& [name, ov] : t->overlay->tables) {
-    auto& table = next->tables[name];
-    // merge overlay into sorted arrays
-    std::vector<uint64_t> keys;
-    std::vector<std::string> values;
-    keys.reserve(table.keys.size() + ov.size());
-    values.reserve(keys.capacity());
-    size_t i = 0;
-    auto it = ov.begin();
-    while (i < table.keys.size() || it != ov.end()) {
-      bool take_old;
-      if (i >= table.keys.size()) take_old = false;
-      else if (it == ov.end()) take_old = true;
-      else take_old = table.keys[i] < it->first;
-      if (take_old) {
-        keys.push_back(table.keys[i]);
-        values.push_back(table.values[i]);
-        i++;
-      } else {
-        bool replace = i < table.keys.size() && table.keys[i] == it->first;
-        if (replace) {
-          live -= 24 + table.values[i].size();
-          i++;
-        }
-        if (it->second.first) {
-          live += 24 + it->second.second.size();
-          keys.push_back(it->first);
-          values.push_back(it->second.second);
-        }
-        ++it;
-      }
-    }
-    table.keys = std::move(keys);
-    table.values = std::move(values);
-  }
+  for (auto& [name, ov] : t->overlay->tables)
+    merge_into(next->tables[name], ov, live);
   env->live_bytes = live;
   {
     std::lock_guard<std::mutex> g(env->swap_mu);
@@ -552,9 +729,28 @@ int hny_commit(Txn* t) {
   return 0;
 }
 
+uint64_t hny_log_size(Env* env) {
+  struct stat st;
+  return (stat(env->log_path.c_str(), &st) == 0) ? (uint64_t)st.st_size : 0;
+}
+
+uint64_t hny_snap_covered(Env* env) { return env->snap_covered.load(); }
+
+// Write the reopen snapshot for the current committed state (see the
+// snapshot sidecar comment above). returns 0 ok, -2 io error.
+int hny_snapshot(Env* env) {
+  std::lock_guard<std::mutex> g(env->write_mu);
+  return write_snapshot_locked(env);
+}
+
 // Compaction: rewrite the log with only live entries (atomic rename).
 int hny_compact(Env* env) {
   std::lock_guard<std::mutex> g(env->write_mu);
+  // the compacted log has a brand-new prefix — the old snapshot can never
+  // validate against it; drop it up front so a crash mid-compact leaves a
+  // plain full-replay store
+  unlink(env->snap_path.c_str());
+  env->snap_covered = 0;
   GenPtr gen;
   {
     std::lock_guard<std::mutex> s(env->swap_mu);
@@ -584,7 +780,11 @@ int hny_compact(Env* env) {
     return env->log ? -2 : -3;
   }
   env->log = fopen(env->log_path.c_str(), "ab");
-  return env->log ? 0 : -3;
+  if (!env->log) return -3;
+  // re-seed the reopen snapshot for the fresh prefix (best-effort: a
+  // failure only costs a full replay on the next open)
+  write_snapshot_locked(env);
+  return 0;
 }
 
 // Bulk item staging (hot path for graph loads): scans [lo, hi) and copies
@@ -598,7 +798,8 @@ int64_t hny_bulk_rows(Txn* t, const char* name, uint64_t lo, uint64_t hi,
   if (gt == t->gen->tables.end()) return 0;
   const Table& table = gt->second;
   auto a = std::lower_bound(table.keys.begin(), table.keys.end(), lo);
-  auto b = std::lower_bound(table.keys.begin(), table.keys.end(), hi);
+  auto b = hi ? std::lower_bound(table.keys.begin(), table.keys.end(), hi)
+              : table.keys.end();
   int64_t n = 0;
   for (auto it = a; it != b && n < cap; ++it, ++n) {
     size_t idx = it - table.keys.begin();

@@ -91,6 +91,12 @@ def load_library():
     lib.hny_commit.argtypes = [ctypes.c_void_p]
     lib.hny_compact.restype = ctypes.c_int
     lib.hny_compact.argtypes = [ctypes.c_void_p]
+    lib.hny_snapshot.restype = ctypes.c_int
+    lib.hny_snapshot.argtypes = [ctypes.c_void_p]
+    lib.hny_log_size.restype = ctypes.c_uint64
+    lib.hny_log_size.argtypes = [ctypes.c_void_p]
+    lib.hny_snap_covered.restype = ctypes.c_uint64
+    lib.hny_snap_covered.argtypes = [ctypes.c_void_p]
     lib.hny_bulk_rows.restype = ctypes.c_int64
     lib.hny_bulk_rows.argtypes = [
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64,
@@ -103,7 +109,9 @@ def load_library():
 def _range_from_prefix(prefix: bytes) -> tuple[int, int]:
     lo = int.from_bytes(prefix + b"\x00" * (8 - len(prefix)), "big")
     hi = int.from_bytes(prefix + b"\xff" * (8 - len(prefix)), "big") + 1
-    return lo, hi
+    # an empty prefix makes hi == 2**64, which the u64 ABI would wrap to 0;
+    # the C scans define hi == 0 as "no upper bound", which is exactly that
+    return lo, hi % (1 << 64)
 
 
 class _GenShim:
@@ -332,8 +340,29 @@ class NativeEnv:
         if rc != 0:
             raise StoreError(f"compact failed (rc={rc})")
 
+    def snapshot(self) -> None:
+        """Write the reopen snapshot (hannoy.snap): the next open loads
+        sorted tables directly and replays only log bytes appended after
+        this point — replay-free reopen for 10M-row stores."""
+        rc = self._lib.hny_snapshot(self._ptr)
+        if rc != 0:
+            raise StoreError(f"snapshot failed (rc={rc})")
+
+    #: log bytes that may accumulate past the snapshot before close()
+    #: rewrites it (16 MiB of suffix replays in negligible time)
+    SNAPSHOT_SLACK = 16 * 1024 * 1024
+
     def close(self) -> None:
         if self._ptr:
+            # keep reopen cheap: refresh the snapshot when enough new log
+            # has accumulated since the covered point (best-effort)
+            try:
+                log = self._lib.hny_log_size(self._ptr)
+                covered = self._lib.hny_snap_covered(self._ptr)
+                if log > covered + self.SNAPSHOT_SLACK:
+                    self._lib.hny_snapshot(self._ptr)
+            except Exception:
+                pass
             self._lib.hny_close(self._ptr)
             self._ptr = None
 

@@ -308,3 +308,101 @@ def test_lock_survives_compaction(tmp_path, env_cls):
     )
     assert "LOCKED" in out.stdout, out.stdout + out.stderr
     env.close()
+
+
+def test_snapshot_reopen(tmp_path):
+    """Native reopen snapshot: hannoy.snap seeds the tables and only the
+    log suffix is replayed — reopen sees snapshot rows, suffix rows, and
+    suffix deletes over snapshot rows."""
+    path = tmp_path / "snap"
+    env = NativeEnv(path)
+    db = env.create_database(None, None)
+    with env.write_txn() as w:
+        for i in range(200):
+            db.put(w, Key.item(0, i).to_bytes(), bytes([i % 251]) * (i % 37 + 1))
+    env.snapshot()
+    assert os.path.exists(path / "hannoy.snap")
+    # suffix after the snapshot: new rows + deletes of snapshotted rows
+    with env.write_txn() as w:
+        for i in range(200, 230):
+            db.put(w, Key.item(0, i).to_bytes(), b"suffix")
+        for i in range(0, 10):
+            db.delete(w, Key.item(0, i).to_bytes())
+    env.close()
+
+    env2 = NativeEnv(path)
+    db2 = env2.create_database(None, None)
+    r = env2.read_txn()
+    assert db2.get(r, Key.item(0, 5).to_bytes()) is None  # suffix delete
+    assert db2.get(r, Key.item(0, 50).to_bytes()) == bytes([50]) * (50 % 37 + 1)
+    assert db2.get(r, Key.item(0, 210).to_bytes()) == b"suffix"
+    assert db2.len(r) == 220
+    env2.close()
+
+
+def test_snapshot_stale_is_rejected(tmp_path):
+    """A snapshot whose covered log prefix changed (python-backend
+    compaction rewrites the file) must not poison a later native open."""
+    path = tmp_path / "stale"
+    env = NativeEnv(path)
+    db = env.create_database(None, None)
+    with env.write_txn() as w:
+        for i in range(100):
+            db.put(w, Key.item(0, i).to_bytes(), b"x" * 64)
+    env.snapshot()
+    with env.write_txn() as w:
+        for i in range(50):
+            db.delete(w, Key.item(0, i).to_bytes())
+    env.close()
+
+    # python backend compacts (rewrites the prefix and unlinks the snap)
+    py = Env(path)
+    py.compact()
+    py.close()
+    assert not os.path.exists(path / "hannoy.snap")
+
+    env2 = NativeEnv(path)
+    db2 = env2.create_database(None, None)
+    r = env2.read_txn()
+    assert db2.len(r) == 50
+    assert db2.get(r, Key.item(0, 10).to_bytes()) is None
+    assert db2.get(r, Key.item(0, 99).to_bytes()) == b"x" * 64
+    env2.close()
+
+    # a snap with mismatched probes (copied from another store) is ignored
+    other = NativeEnv(tmp_path / "other")
+    odb = other.create_database(None, None)
+    with other.write_txn() as w:
+        odb.put(w, Key.item(0, 7).to_bytes(), b"WRONG")
+    other.snapshot()
+    other.close()
+    import shutil
+
+    shutil.copy(tmp_path / "other" / "hannoy.snap", path / "hannoy.snap")
+    env3 = NativeEnv(path)
+    db3 = env3.create_database(None, None)
+    r3 = env3.read_txn()
+    assert db3.get(r3, Key.item(0, 7).to_bytes()) is None  # not poisoned
+    assert db3.len(r3) == 50
+    env3.close()
+
+
+def test_snapshot_then_compact_then_reopen(tmp_path):
+    """Native compaction reseeds the snapshot for the new prefix."""
+    path = tmp_path / "sc"
+    env = NativeEnv(path)
+    db = env.create_database(None, None)
+    with env.write_txn() as w:
+        for i in range(64):
+            db.put(w, Key.item(0, i).to_bytes(), b"v" * 32)
+    with env.write_txn() as w:
+        for i in range(32):
+            db.delete(w, Key.item(0, i).to_bytes())
+    env.compact()
+    assert os.path.exists(path / "hannoy.snap")
+    env.close()
+    env2 = NativeEnv(path)
+    db2 = env2.create_database(None, None)
+    r = env2.read_txn()
+    assert db2.len(r) == 32
+    env2.close()
