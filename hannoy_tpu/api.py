@@ -735,11 +735,13 @@ class Reader:
         return self._version
 
     def n_nodes(self) -> Optional[int]:
-        """Total store records for this index — items + link rows +
-        metadata (reference reader.rs:575-578, used for exhaustive scans)."""
+        """Total records in the store's key table — exactly the reference's
+        ``database.len(rtxn)`` (reader.rs:576-578), which counts every
+        record across *all* indexes sharing the database, not just this
+        one. Use :meth:`n_items` for the per-index item count."""
         db = self._database._db
-        n = sum(1 for _ in db.prefix_iter(self._rtxn, Prefix.all(self._index)))
-        return n or None
+        n = db.len(self._rtxn)
+        return int(n) or None
 
     def is_empty(self) -> bool:
         return len(self._metadata.items) == 0

@@ -467,10 +467,19 @@ def to_device(
     deferral (see wave_ops.prune_slack_rows) — the physical table becomes
     ``[N_pad, M0 + slack]``; host rows land in the first M0 columns.
 
-    HANNOY_TPU_BF16=1 stores f32 vectors as bfloat16 in HBM — halves the
-    footprint and the beam gather bandwidth; distances upcast or use the
-    MXU's native bf16 path (see ops.distances). The host/store copy stays
-    f32, so persisted data is unaffected.
+    HBM storage tiers (the single-chip capacity story — the reference
+    serves datasets ≫ RAM via LMDB paging, reader.rs:446-543; here the
+    index must fit HBM, so smaller dtypes raise the ceiling):
+
+    * HANNOY_TPU_BF16=1 — bfloat16 rows, 2× capacity, recall unchanged
+      (measured at 100k: 0.979 vs 0.976). Any f32 metric.
+    * HANNOY_TPU_INT8=1 — int8 rows, 4× capacity, **cosine only**: rows
+      are unit-normalized then quantized to ``round(127·v/|v|)`` with the
+      127 scale folded into the norm header, so the distance formulas are
+      unchanged and no per-row scale array is needed. ~16 GB HBM holds
+      ~5M×768d f32, ~10M bf16, ~20M int8 (links0 at M0=32 adds 128 B/row).
+
+    The host/store copy stays f32, so persisted data is unaffected.
     """
     if max_entry_points is None:
         max_entry_points = ep_pad(len(g.entry_slots))
@@ -495,7 +504,23 @@ def to_device(
     import os as _os
 
     vecs = g.vectors
-    if not g.metric.is_packed and _os.environ.get("HANNOY_TPU_BF16") == "1":
+    norms_host = g.norms
+    if not g.metric.is_packed and _os.environ.get("HANNOY_TPU_INT8") == "1":
+        if g.metric.name != "cosine":
+            from ..errors import InvalidConfig
+
+            raise InvalidConfig(
+                "HANNOY_TPU_INT8 storage supports the cosine metric only "
+                "(euclidean/manhattan need absolute magnitudes; packed "
+                "metrics are already 32x compressed)"
+            )
+        mags = np.linalg.norm(vecs, axis=-1, keepdims=True)
+        unit = np.divide(vecs, mags, out=np.zeros_like(vecs), where=mags > 1e-30)
+        vectors_dev = jnp.asarray(np.clip(np.rint(127.0 * unit), -127, 127).astype(np.int8))
+        # norm header: |stored| = 127 for live rows (0 rows keep 0 so the
+        # cosine eps guard still returns distance 0.0, cosine.rs:40-56)
+        norms_host = np.where(mags[:, 0] > 1e-30, np.float32(127.0), np.float32(0.0))
+    elif not g.metric.is_packed and _os.environ.get("HANNOY_TPU_BF16") == "1":
         vectors_dev = jnp.asarray(vecs).astype(jnp.bfloat16)
     else:
         vectors_dev = jnp.asarray(vecs)
@@ -509,7 +534,7 @@ def to_device(
         )
     return DeviceGraph(
         vectors=vectors_dev,
-        norms=jnp.asarray(g.norms),
+        norms=jnp.asarray(norms_host),
         links0=jnp.asarray(links0_h),
         dists0=jnp.asarray(dists0_h),
         upper_links=jnp.asarray(up),

@@ -171,9 +171,13 @@ def gathered_distances(
     Rows may arrive as bfloat16 (the opt-in HBM storage dtype — halves the
     gather bandwidth of the hot loop): dot metrics run the MXU's native
     bf16×bf16→f32; the subtractive metrics upcast after the gather so the
-    cancellation-sensitive arithmetic stays f32.
+    cancellation-sensitive arithmetic stays f32. int8 rows (the 4× cosine
+    capacity tier, see models.hnsw.to_device) dequantize after the gather —
+    the 127 scale already lives in the norm header.
     """
     name = metric.name
+    if c.dtype == jnp.int8:
+        c = c.astype(jnp.float32)
     bf16 = c.dtype == jnp.bfloat16
     if name == "cosine":
         qq = q.astype(c.dtype)
@@ -209,6 +213,8 @@ def matrix_distances(
     used where throughput matters.
     """
     name = metric.name
+    if db.dtype == jnp.int8:
+        db = db.astype(jnp.float32)
     bf16 = db.dtype == jnp.bfloat16
     prec = None if bf16 else MATMUL_PRECISION
     if name == "cosine":

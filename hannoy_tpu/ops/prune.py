@@ -32,6 +32,8 @@ def pairwise_block(
 ) -> jax.Array:
     """All-pairs distances within each row's candidate set → [B, K, K]."""
     name = metric.name
+    if vecs.dtype == jnp.int8:
+        vecs = vecs.astype(jnp.float32)
     bf16 = vecs.dtype == jnp.bfloat16
     prec = None if bf16 else distances.MATMUL_PRECISION
     if name == "cosine":

@@ -56,7 +56,11 @@ def test_fresh_build_recall(rng, metric):
     g.check_validity()
     queries = rng.standard_normal((16, d)).astype(np.float32)
     rec = search_recall(g, queries, k, ef=100, metric=metric)
-    floor = 0.80 if metric.is_packed else 0.90
+    # floors sit ~2-4 points under the measured operating points (seeds
+    # 42/1/2: euclidean 0.94-1.0, packed metrics 1.0) so a real quality
+    # regression fails; the reference's published r@10 at this regime is
+    # ~0.93-0.95 (BASELINE.md)
+    floor = 0.95 if metric.is_packed else 0.92
     assert rec >= floor, f"wave-built recall@{k}={rec} for {metric.name}"
 
 
@@ -113,7 +117,7 @@ def test_incremental_insert(rng):
     assert g.n_items == n1 + n2
 
     rec = search_recall(g, rng.standard_normal((16, d)).astype(np.float32), 10, 100, EUCLIDEAN)
-    assert rec >= 0.9, f"incremental recall {rec}"
+    assert rec >= 0.93, f"incremental recall {rec}"
 
 
 def test_delete_then_build_repairs(rng):
@@ -137,7 +141,7 @@ def test_delete_then_build_repairs(rng):
             assert not (set(g.links_of(int(s), level).tolist()) & doomed_set)
 
     rec = search_recall(g, rng.standard_normal((16, d)).astype(np.float32), 10, 100, EUCLIDEAN)
-    assert rec >= 0.85, f"post-delete recall {rec}"
+    assert rec >= 0.9, f"post-delete recall {rec}"
 
 
 def test_delete_entry_points(rng):
@@ -222,4 +226,30 @@ def test_bf16_storage_recall(rng, monkeypatch):
     dev = to_device(g)
     assert dev.vectors.dtype == jnp.bfloat16
     rec = search_recall(g, rng.standard_normal((16, d)).astype(np.float32), k, 100, COSINE)
-    assert rec >= 0.85, f"bf16 recall {rec}"
+    assert rec >= 0.92, f"bf16 recall {rec}"
+
+
+def test_int8_storage_recall(rng, monkeypatch):
+    """Opt-in int8 HBM tier (HANNOY_TPU_INT8=1): 4x capacity for cosine —
+    rows stored as round(127*v/|v|) with the scale folded into the norm
+    header (models/hnsw.py to_device)."""
+    monkeypatch.setenv("HANNOY_TPU_INT8", "1")
+    n, d, k = 1000, 32, 10
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    g, slots = stage(COSINE, data, np.arange(n), m=8, m0=16)
+    build_graph(g, slots, np.empty(0, dtype=np.int64), BuildOptions(ef_construction=48, wave_size=128))
+    g.check_validity()
+    dev = to_device(g)
+    assert dev.vectors.dtype == jnp.int8
+    rec = search_recall(g, rng.standard_normal((16, d)).astype(np.float32), k, 100, COSINE)
+    assert rec >= 0.92, f"int8 recall {rec}"
+
+
+def test_int8_storage_rejects_non_cosine(rng, monkeypatch):
+    from hannoy_tpu.errors import InvalidConfig
+
+    monkeypatch.setenv("HANNOY_TPU_INT8", "1")
+    data = rng.standard_normal((32, 8)).astype(np.float32)
+    g, slots = stage(EUCLIDEAN, data, np.arange(32), m=4, m0=8)
+    with pytest.raises(InvalidConfig):
+        to_device(g)
