@@ -307,13 +307,54 @@ class HostGraph:
             if k.item not in g.id_to_slot:
                 s = g.alloc_slot(k.item)
                 g.levels[s] = 0  # raised as its rows are applied below
+        # Vectorized id → slot mapping + batched layer-0 fill: one sorted
+        # table + one np.searchsorted over every link of the layer instead
+        # of a Python dict probe per link (10M rows × M0 links is 100M+
+        # lookups — a per-record loop the reference never pays because
+        # LMDB hands it ready B-tree pages). Upper layers are ~1/M of the
+        # rows and keep the simple per-row path.
+        known_ids = np.fromiter(g.id_to_slot.keys(), dtype=np.int64, count=len(g.id_to_slot))
+        known_slots = np.fromiter(g.id_to_slot.values(), dtype=np.int32, count=len(g.id_to_slot))
+        order = np.argsort(known_ids)
+        known_ids, known_slots = known_ids[order], known_slots[order]
+
+        def map_ids(ids64: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+            """→ (slots for the hits, hit mask) — missing ids dropped."""
+            pos = np.searchsorted(known_ids, ids64)
+            pos_ok = pos < len(known_ids)
+            hit = np.zeros(len(ids64), dtype=bool)
+            hit[pos_ok] = known_ids[pos[pos_ok]] == ids64[pos_ok]
+            return known_slots[pos[hit]], hit
+
+        l0 = [(item, ids) for item, layer, ids in raw_rows if layer == 0]
+        if l0:
+            owners = np.asarray([g.id_to_slot[item] for item, _ in l0], dtype=np.int64)
+            lens = np.asarray([len(ids) for _, ids in l0], dtype=np.int64)
+            flat = (
+                np.concatenate([ids for _, ids in l0]).astype(np.int64)
+                if lens.sum()
+                else np.empty(0, dtype=np.int64)
+            )
+            slots_flat, hit = map_ids(flat)
+            row_of = np.repeat(np.arange(len(l0)), lens)[hit]
+            # rank within each row after dropping misses
+            rank = np.zeros(len(row_of), dtype=np.int64)
+            if len(row_of):
+                first = np.concatenate([[True], row_of[1:] != row_of[:-1]])
+                idx = np.arange(len(row_of))
+                starts = np.maximum.accumulate(np.where(first, idx, 0))
+                rank = idx - starts
+            keep = rank < g.m0
+            g.links0[owners, :] = -1
+            g.dists0[owners, :] = np.inf
+            g.links0[owners[row_of[keep]], rank[keep]] = slots_flat[keep]
+            g.dists0[owners[row_of[keep]], rank[keep]] = np.nan
         for item, layer, ids in raw_rows:
             slot = g.id_to_slot[item]
             g.levels[slot] = max(g.levels[slot], layer)
-            link_slots = np.asarray(
-                [g.id_to_slot[i] for i in ids.tolist() if i in g.id_to_slot],
-                dtype=np.int32,
-            )
+            if layer == 0:
+                continue  # bulk-filled above
+            link_slots, _ = map_ids(ids.astype(np.int64))
             # NaN marks "distance unknown, recompute on device"
             g.set_links(
                 slot, layer, link_slots, np.full(len(link_slots), np.nan, dtype=np.float32)

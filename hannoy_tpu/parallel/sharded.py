@@ -416,7 +416,10 @@ def sharded_insert_wave(
     the multi-chip *training step* equivalent: each device descends to the
     wave's level, then runs the per-level beam → α-prune → link chain of
     ``builder._insert_wave`` on its local sub-graph, with no cross-chip
-    traffic (sub-graphs are independent)."""
+    traffic (sub-graphs are independent).
+
+    The input ``index``'s device arrays are **donated** (updated in place
+    on device); use only the returned index afterwards."""
     if node_ok is None:
         node_ok = index.arrays["valid"] | jax.vmap(
             lambda w: _slots_mask(index.arrays["valid"].shape[1], w)

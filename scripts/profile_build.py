@@ -34,7 +34,7 @@ N = int(os.environ.get("PROF_N", 100_000))
 D = int(os.environ.get("PROF_D", 768))
 W = int(os.environ.get("PROF_W", 4096))
 M, M0 = 16, 32
-EFC = 48
+EFC = int(os.environ.get("PROF_EFC", 48))
 REPS = 20
 
 
