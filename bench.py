@@ -52,6 +52,16 @@ def main() -> None:
     metric = distances.by_name(
         os.environ.get("HANNOY_BENCH_METRIC", "cosine").replace("_", " ")
     )
+    # build-tuning knobs (defaults = BuildOptions defaults)
+    chain = os.environ.get("HANNOY_BENCH_CHAIN", "0") == "1"
+    refine = os.environ.get("HANNOY_BENCH_REFINE")
+    refine = int(refine) if refine else None
+    expand = int(os.environ.get("HANNOY_BENCH_EXPAND", 1))
+    biters = os.environ.get("HANNOY_BENCH_BITERS")
+    biters = int(biters) if biters else None
+    tail = float(os.environ.get("HANNOY_BENCH_TAIL", 0.05))
+    trav = os.environ.get("HANNOY_BENCH_TRAVERSE")
+    trav = int(trav) if trav else None
     rng = np.random.default_rng(42)
     # clustered synthetic data: mixture of gaussians, matching the local
     # structure of real embedding corpora (pure isotropic gaussian 768-d is
@@ -76,8 +86,15 @@ def main() -> None:
     # ---- build (timed twice: cold includes XLA compiles + executable
     # loads through the remote TPU runtime; steady is the recurring cost
     # an operator pays per (re)build — reported as the headline) ----
+    def _opts():
+        return BuildOptions(
+            ef_construction=efc, wave_size=wave, chain_seeding=chain,
+            refine_iters=refine, beam_expand=expand, beam_iters=biters,
+            beam_tail_frac=tail, traverse=trav,
+        )
+
     t0 = time.perf_counter()
-    build_graph(g, slots, np.empty(0, dtype=np.int64), BuildOptions(ef_construction=efc, wave_size=wave))
+    build_graph(g, slots, np.empty(0, dtype=np.int64), _opts())
     build_cold_s = time.perf_counter() - t0
 
     g2 = HostGraph.empty(metric, d, m, m0, capacity=slot_capacity(n))
@@ -86,7 +103,7 @@ def main() -> None:
     g2.vectors[:n] = g.vectors[:n]
     g2.norms[:n] = g.norms[:n]
     t0 = time.perf_counter()
-    build_graph(g2, slots, np.empty(0, dtype=np.int64), BuildOptions(ef_construction=efc, wave_size=wave))
+    build_graph(g2, slots, np.empty(0, dtype=np.int64), _opts())
     build_s = time.perf_counter() - t0
     build_vps = n / build_s
     g = g2

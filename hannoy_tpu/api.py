@@ -193,6 +193,24 @@ class Database:
             return True
         return False
 
+    def close(self) -> None:
+        """Close the underlying environment: abort any uncommitted shared
+        write transaction, flush the store (snapshot sidecar refresh) and
+        release the process lock. Environments are shared per path
+        (python.rs:18 OnceCell analogue), so every Database handle on this
+        path becomes invalid; construct a new Database to reopen."""
+        self.abort_rw_txn()
+        key = os.path.realpath(self._env.path)
+        with _ENVS_LOCK:
+            _ENVS.pop(key, None)
+        self._env.close()
+
+    def __enter__(self) -> "Database":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        self.close()
+
     # -- handles ---------------------------------------------------------
     def writer(
         self,

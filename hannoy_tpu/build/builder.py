@@ -45,6 +45,9 @@ DEFAULT_WAVE = 256
 REPAIR_BLOCK = 512
 #: wave sizes snap to these buckets to bound jit compilations
 _WAVE_BUCKETS = (16, 128, 1024, 4096)
+#: a wave seeds the next only when it carried at least this many real
+#: items (sparser prototype sets measurably cost recall)
+_CHAIN_MIN_PREV = 1024
 
 
 @dataclasses.dataclass
@@ -79,6 +82,34 @@ class BuildOptions:
     #: The v5e sweep lives in BENCH_NOTES.md; recall falls off a cliff
     #: below ~ef/2 expansions total.
     beam_iters: Optional[int] = None
+    #: chain seeding: layer-0 waves after the first seed each item's beam
+    #: from its nearest member of the *previous* wave and that member's
+    #: freshly pruned link row (one [W, W_prev] MXU matmul replaces the
+    #: upper-layer descent), running a reduced ``refine_iters`` budget.
+    #: See wave_ops.proto_seed_rows. f32 dot metrics only. Default OFF:
+    #: 2.4× faster on the CPU mesh, but on the v5e-via-tunnel rig the
+    #: beam converges straggler-bound regardless of seed quality, so
+    #: chaining saved no time and refine caps below convergence cost ~4
+    #: recall points (BENCH_NOTES.md round 2). Enable on locally-attached
+    #: hardware after measuring.
+    chain_seeding: bool = False
+    #: refine-beam iteration budget for chain-seeded items
+    #: (None → max(16, (ef_construction+16)//2)).
+    refine_iters: Optional[int] = None
+    #: layer-0 construction beams stop once at most this fraction of the
+    #: wave is still expanding (every loop iteration processes the whole
+    #: wave, so the last stragglers otherwise charge their hops to all W
+    #: rows — see beam.beam_search tail_frac). 0.0 = reference
+    #: termination. Stragglers keep their pooled candidates. Measured on
+    #: v5e (100k×768 clustered cosine): 0.05 trims ~7% of beam iterations
+    #: at bit-identical recall.
+    beam_tail_frac: float = 0.05
+    #: construction beams expand only each row's nearest ``traverse``
+    #: links (rows are distance-sorted; None = full row, the reference's
+    #: behavior). The hot row gather has a per-row cost floor on TPU, so
+    #: rank-truncated expansion is the main remaining throughput lever —
+    #: see BENCH_NOTES.md for the measured recall trade.
+    traverse: Optional[int] = None
 
 
 def prepare_entry_points(
@@ -240,6 +271,7 @@ def build_graph(
 
     for lv, grp in groups:
         start = 0
+        prev_wave = None  # previous wave at this level (chain seeding)
         while start < len(grp):
             if opts.cancel():
                 raise BuildCancelled()
@@ -258,11 +290,38 @@ def build_graph(
             start += len(chunk)
             wave = np.full(w_pad, -1, dtype=np.int32)
             wave[: len(chunk)] = chunk
-            with span("insert_wave", level=lv, width=w_pad, active=n_active):
-                dev, dirty, counters = _insert_wave(
-                    dev, wave, lv, opts, n_active, node_ok, dirty, counters, g.m0
+            wave_j = jnp.asarray(wave)
+            # Chain seeding: after the first large layer-0 wave, each
+            # item seeds from its nearest previous-wave member + that
+            # member's freshly pruned links (wave_ops.proto_seed_rows) and
+            # refines with a reduced beam budget — the assignment matmul
+            # rides the MXU while the beam iterations it replaces are
+            # HBM-gather-bound.
+            seeds = None
+            beam_iters = None
+            if (
+                lv == 0
+                and opts.chain_seeding
+                and prev_wave is not None
+                and n_active > FLAT_BOOTSTRAP
+                and not g.metric.is_packed
+                and g.metric.name != "manhattan"  # [W,P,D] blow-up
+            ):
+                seeds = wave_ops.proto_seed_rows(dev, wave_j, prev_wave)
+                beam_iters = opts.refine_iters or max(
+                    16, (opts.ef_construction + 16) // 2
                 )
-            dev = wave_ops.activate_wave(dev, jnp.asarray(wave))
+            with span(
+                "insert_wave", level=lv, width=w_pad, active=n_active,
+                chained=int(seeds is not None),
+            ):
+                dev, dirty, counters = _insert_wave(
+                    dev, wave, lv, opts, n_active, node_ok, dirty, counters,
+                    g.m0, seeds=seeds, beam_iters=beam_iters,
+                )
+            dev = wave_ops.activate_wave(dev, wave_j)
+            if lv == 0 and len(chunk) >= _CHAIN_MIN_PREV:
+                prev_wave = wave_j
             n_active += len(chunk)
             done += len(chunk)
             stats.waves += 1
@@ -310,19 +369,33 @@ def _insert_wave(
     dirty,
     counters,
     m0: int,
+    seeds=None,
+    beam_iters: Optional[int] = None,
 ):
     """Insert one wave: greedy descent to lv+1, then per-level beam +
     prune + connect, chaining each level's pruned set as the next level's
-    seeds (hnsw.rs:291-328)."""
+    seeds (hnsw.rs:291-328).
+
+    ``seeds``/``beam_iters`` override the descent and the per-level beam
+    budget — the prototype-seeded refine path passes both."""
     wave_j = jnp.asarray(wave)
     use_flat = n_active <= FLAT_BOOTSTRAP
 
-    if dev.max_level > lv and not use_flat:
-        seeds = beam.descend_for_slots(dev, wave_j, dev.max_level, lv + 1)
-    else:
-        seeds = jnp.broadcast_to(
-            dev.entry_slots[None, :], (wave.shape[0], dev.entry_slots.shape[0])
-        )
+    if seeds is None:
+        if dev.max_level > lv and not use_flat:
+            seeds = beam.descend_for_slots(dev, wave_j, dev.max_level, lv + 1)
+        else:
+            seeds = jnp.broadcast_to(
+                dev.entry_slots[None, :], (wave.shape[0], dev.entry_slots.shape[0])
+            )
+    if beam_iters is None:
+        beam_iters = opts.beam_iters
+    # tail termination only pays on wide waves; on a narrow (ramp /
+    # incremental) wave the allowance would be a visible fraction of the
+    # real items — e.g. 6 of 50 on a 128-wide wave — and their beams stop
+    # before the new items are well linked (caught by the round-2 verify
+    # drive: 2 of 8 fresh items unreachable at n=5)
+    tail = opts.beam_tail_frac if wave.shape[0] >= 1024 else 0.0
 
     for level in range(min(lv, dev.max_level), -1, -1):
         # logical caps: the device layer-0 table may be slack-widened
@@ -341,7 +414,9 @@ def _insert_wave(
             alpha=opts.alpha,
             flat=use_flat,
             expand=opts.beam_expand,
-            beam_iters=opts.beam_iters,
+            beam_iters=beam_iters,
+            beam_tail=tail,
+            traverse=opts.traverse,
         )
         seeds = selected
     return dev, dirty, counters

@@ -122,7 +122,10 @@ def _replace(g: DeviceGraph, **kw) -> DeviceGraph:
 
 @partial(
     jax.jit,
-    static_argnames=("is_level0", "ef", "cap", "alpha", "inc_cap", "flat", "expand", "beam_iters"),
+    static_argnames=(
+        "is_level0", "ef", "cap", "alpha", "inc_cap", "flat", "expand",
+        "beam_iters", "beam_tail", "traverse",
+    ),
     donate_argnames=("g", "dirty", "counters"),
 )
 def wave_insert_level(
@@ -141,6 +144,8 @@ def wave_insert_level(
     flat: bool = False,
     expand: int = 1,
     beam_iters: int | None = None,
+    beam_tail: float = 0.0,
+    traverse: int | None = None,
 ) -> WaveLevelResult:
     """Insert one wave at one level (the batched hnsw.rs:312-327 body).
 
@@ -188,9 +193,17 @@ def wave_insert_level(
         # (the alpha-prune keeps only `cap` of them anyway). traverse_k
         # keeps the hot gather at `cap` rows when tables carry slack.
         mi = beam_iters if beam_iters is not None else (ef + 16 + expand - 1) // expand
+        # traverse: construction beams may expand only each row's nearest
+        # ``traverse`` links (rows are distance-sorted) — the per-hop row
+        # gather is the build bottleneck and runs at a per-row cost floor,
+        # so fewer rows is the one lever left (CAGRA-style rank
+        # truncation). None → the full row (reference semantics), which
+        # for layer 0 means the logical cap when tables carry slack.
+        tk = traverse if traverse is not None else (cap if is_level0 else None)
         res = beam.beam_search(
             g, q, qn, seeds, ef, max_iters=mi, node_ok=node_ok, level=level,
-            expand=expand, traverse_k=cap if is_level0 else None,
+            expand=expand, traverse_k=tk,
+            tail_frac=beam_tail if is_level0 else 0.0,
         )
         cand_ids, cand_d = res.slots, res.dists
         width = int(cap if is_level0 else g.upper_links.shape[-1])
@@ -269,11 +282,92 @@ def wave_insert_level(
     )
     dirty = dirty.at[jnp.where(u_dst != NO_ID, u_dst, g.capacity)].set(True, mode="drop")
 
+    # ---- stranded-insert guarantee (layer 0) ----
+    # The α-overflow rule can reject *every* reverse edge of a new item
+    # inserted into a mature graph (its distances lose against settled
+    # rows), leaving the item with outbound links only — permanently
+    # unreachable by search. The reference shares this failure mode
+    # (add_link drops the incoming edge on overflow, hnsw.rs:538-552);
+    # measured here: 5/16 incremental inserts stranded at 3k×96-d
+    # isotropic. Guarantee minimum in-degree instead: any wave item not
+    # present in its 4 nearest selected neighbors' rows is force-linked
+    # into its nearest neighbor's worst slot (deterministic, row re-sorted).
+    if is_level0:
+        g, dirty, counters = _ensure_inbound(
+            g, wave_slots, sel_ids, sel_d, dirty, counters
+        )
+
     return WaveLevelResult(g, sel_ids, dirty, counters)
 
 
-_CHUNK_A = 2048  # phase-A rows per step (no vector gathers)
-_CHUNK_B = 2048  # phase-B rows per step (gathers [CH, TW+inc, D] vectors)
+def _ensure_inbound(
+    g: DeviceGraph,
+    wave_slots: jax.Array,  # [W]
+    sel_ids: jax.Array,  # [W, cap] pruned forward links (ascending)
+    sel_d: jax.Array,  # [W, cap]
+    dirty: jax.Array,
+    counters: jax.Array,
+    k_check: int = 4,
+    force_cap: int = 4,
+) -> tuple[DeviceGraph, jax.Array, jax.Array]:
+    """Force ≥1 inbound edge for wave items the reverse merge stranded.
+
+    A wave item's inbound edges can only live in rows of its own selected
+    destinations (the reverse merge writes nowhere else), so presence is
+    checked against the ``k_check`` nearest selected rows. Stranded items
+    are written into their nearest neighbor's *last* column — displacing
+    that row's worst link — at deterministic per-destination ranks (at
+    most ``force_cap`` per destination, sorted by (destination, distance)
+    like the reverse merge), and touched rows are re-sorted to keep the
+    ascending-row invariant.
+    """
+    W, cap = sel_ids.shape
+    near = sel_ids[:, :k_check]
+    rows = beam.links_at(g, 0, near.reshape(-1)).reshape(W, k_check, -1)
+    present = jnp.any(
+        (rows == wave_slots[:, None, None]) & (near != NO_ID)[:, :, None],
+        axis=(1, 2),
+    )
+    need = (wave_slots >= 0) & ~present & (sel_ids[:, 0] != NO_ID)
+    dst = jnp.where(need, sel_ids[:, 0], NO_ID)
+    d0 = jnp.where(need, sel_d[:, 0], INF)
+
+    sort_key = jnp.where(need, dst, jnp.int32(2**30))
+    sk, dd, src_s, dst_s = jax.lax.sort(
+        (sort_key, d0, wave_slots, dst), dimension=0, num_keys=2
+    )
+    idx = jnp.arange(W, dtype=jnp.int32)
+    first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+    rank = idx - jax.lax.cummax(jnp.where(first, idx, 0))
+    keep = (dst_s != NO_ID) & (rank < force_cap)
+
+    tw = g.links0.shape[-1]
+    safe_dst = jnp.where(keep, dst_s, g.capacity)
+    col = tw - 1 - jnp.where(keep, rank, 0)
+    links0 = g.links0.at[safe_dst, col].set(src_s, mode="drop")
+    dists0 = g.dists0.at[safe_dst, col].set(dd, mode="drop")
+
+    # re-sort the touched rows (ascending-row invariant)
+    touched = jnp.where(keep, dst_s, NO_ID)
+    t_rows = links0[jnp.maximum(touched, 0)]
+    t_d = dists0[jnp.maximum(touched, 0)]
+    t_d, t_rows = topk.sort_by_dist(t_d, t_rows)
+    links0 = _scatter_rows(links0, touched, t_rows)
+    dists0 = _scatter_rows(dists0, touched, t_d)
+
+    dirty = dirty.at[safe_dst].set(True, mode="drop")
+    counters = counters.at[CNT_FWD_LINKS].add(jnp.sum(keep, dtype=jnp.int32))
+    return _replace(g, links0=links0, dists0=dists0), dirty, counters
+
+
+import os as _os
+
+#: reverse-merge chunk rows per while-loop step. Larger chunks mean fewer
+#: sequential device steps (each step is launch-overhead-heavy at small
+#: shapes) at the cost of more HBM for the staged gather; env-tunable for
+#: chip sweeps.
+_CHUNK_A = int(_os.environ.get("HANNOY_TPU_CHUNK_A", 2048))  # no vector gathers
+_CHUNK_B = int(_os.environ.get("HANNOY_TPU_CHUNK_B", 2048))  # gathers [CH, TW+inc, D]
 _POS_SENTINEL = jnp.int32(2**30)
 
 
@@ -430,6 +524,41 @@ def prune_slack_rows(g: DeviceGraph, dirty: jax.Array, cap: int, alpha: float):
     links0, dists0, _ = jax.lax.while_loop(cond, body, (g.links0, g.dists0, jnp.int32(0)))
     dirty = dirty | over
     return _replace(g, links0=links0, dists0=dists0), dirty
+
+
+@jax.jit
+def proto_seed_rows(
+    g: DeviceGraph,
+    rest_slots: jax.Array,  # [R] wave items about to insert (-1 padded)
+    proto_slots: jax.Array,  # [P] previously inserted wave (-1 padded)
+) -> jax.Array:
+    """Layer-0 beam seeds for a wave from its nearest prototype → [R, 1+M0].
+
+    Chain seeding (see builder.build_graph): every item of wave *k* seeds
+    its layer-0 beam with its nearest member of wave *k-1* — already
+    inserted, so its α-pruned link row is fresh — plus that row itself:
+    ef-grade candidates before the first expansion, so the refine beam
+    runs a ~2× smaller iteration budget at equal candidate quality. One
+    [R, P] distance matmul (MXU) replaces R upper-layer greedy descents
+    whose per-hop row gathers are the build bottleneck.
+
+    Replaces nothing in the reference — hnsw.rs:168-185 gives every rayon
+    insert its own full descent + search; sharing candidate pools across
+    co-batched inserts is the TPU-native reformulation (the MXU makes the
+    assignment matmul nearly free).
+    """
+    metric = g.metric
+    q = g.vectors[jnp.maximum(rest_slots, 0)]
+    qn = g.norms[jnp.maximum(rest_slots, 0)]
+    pv = g.vectors[jnp.maximum(proto_slots, 0)]
+    pn = g.norms[jnp.maximum(proto_slots, 0)]
+    d = distances.matrix_distances(metric, q, qn, pv, pn)  # [R, P]
+    d = jnp.where((proto_slots >= 0)[None, :], d, INF)
+    best = jnp.argmin(d, axis=-1)  # [R]
+    proto = proto_slots[best]
+    links = g.links0[jnp.maximum(proto, 0)]  # [R, M0(+slack)]
+    links = jnp.where((proto >= 0)[:, None], links, NO_ID)
+    return jnp.concatenate([proto[:, None], links], axis=-1)
 
 
 @partial(jax.jit, donate_argnames=("g",))

@@ -202,6 +202,7 @@ def beam_search(
     level: int = 0,
     expand: int = 1,
     traverse_k: Optional[int] = None,
+    tail_frac: float = 0.0,
 ) -> BeamResult:
     """Unfiltered beam search at ``level`` (hnsw.rs walk_layer semantics;
     builders run it per layer, searches at layer 0).
@@ -221,6 +222,14 @@ def beam_search(
     the reference's pop-one-per-hop). E>1 trades ~E× fewer loop iterations
     for E× more neighbor gathers per iteration — measured net-negative on
     v5e where the row gather dominates the hop, so it stays a tuning knob.
+
+    ``tail_frac``: stop once at most ``tail_frac·B`` queries are still
+    active instead of waiting for the last straggler. Every loop iteration
+    processes the *whole* batch, so a handful of slow-converging queries
+    otherwise charge their extra hops to all B rows — construction
+    builders pass a small tail (stragglers keep their current pool, which
+    is still a valid candidate set); searches default to 0.0 (exact
+    reference termination, hnsw.rs:483-487).
     """
     if max_iters is None:
         max_iters = (2 * ef + 16 + expand - 1) // expand
@@ -229,7 +238,8 @@ def beam_search(
 
     pool_d, pool_id, pool_exp = _seed_pool(g, q, qn, start, ef, node_ok)
     body, cond = _beam_step(
-        g, q, qn, node_ok, ef, min(expand, ef), level, max_iters, traverse_k
+        g, q, qn, node_ok, ef, min(expand, ef), level, max_iters, traverse_k,
+        tail_allow=int(tail_frac * q.shape[0]),
     )
     pool_d, pool_id, pool_exp, iters = jax.lax.while_loop(
         cond, body, (pool_d, pool_id, pool_exp, jnp.int32(0))
@@ -265,10 +275,13 @@ def _beam_step(
     level,
     max_iters: int,
     traverse_k: Optional[int] = None,
+    tail_allow: int = 0,
 ):
     """(body, cond) for the beam while_loop over state
     (pool_d, pool_id, pool_exp, it) — shared between the one-shot search
-    and the chunked/cancellable runner."""
+    and the chunked/cancellable runner. ``tail_allow``: keep looping only
+    while *more than* this many queries are active (0 == reference
+    termination)."""
     B = q.shape[0]
 
     def body(state):
@@ -306,6 +319,10 @@ def _beam_step(
         nd = jnp.where(ok, nd, INF)
         nids = jnp.where(ok, nbs, NO_ID)
 
+        # NB: a rank-based merge (topk.merge_ranked) computes the same
+        # result without the bitonic sort but needs a scatter-by-position,
+        # and TPU scatter costs more than the sort it saves (measured
+        # 5.7 vs 2.6 ms/hop at [4096, 48+32] — see BENCH_NOTES.md)
         pd, (pid, pexp) = topk.merge_sorted(
             pool_d, (pool_id, pool_exp), nd, (nids, jnp.zeros_like(nids)), ef
         )
@@ -316,7 +333,7 @@ def _beam_step(
         unexp_d = jnp.where((pool_exp == 0) & (pool_id != NO_ID), pool_d, INF)
         best_d = jnp.min(unexp_d, axis=-1)
         active = (best_d <= pool_d[:, -1]) & (best_d < INF)
-        return jnp.any(active) & (it < max_iters)
+        return (jnp.sum(active, dtype=jnp.int32) > tail_allow) & (it < max_iters)
 
     return body, cond
 

@@ -133,6 +133,14 @@ def main():
     t, _ = timeit(gather_xla_loop, vecs16, norms, q, qn, base_idx)
     print(f"gather+dist XLA bf16: {t/REPS*1e3:7.2f} ms/hop  -> {gb/2/(t/REPS):6.0f} GB/s effective", flush=True)
 
+    # ---- 2d. int8 variant (the traversal sketch encoding) ----
+    mags = jnp.linalg.norm(vecs, axis=-1, keepdims=True)
+    vecs8 = jnp.clip(jnp.round(127.0 * vecs / jnp.maximum(mags, 1e-30)), -127, 127).astype(jnp.int8)
+    norms8 = jnp.full_like(norms, 127.0)
+    q8 = q  # f32 queries vs int8 rows — the sketch-view path casts rows up
+    t, _ = timeit(gather_xla_loop, vecs8, norms8, q8, qn, base_idx)
+    print(f"gather+dist XLA int8: {t/REPS*1e3:7.2f} ms/hop  -> {gb/4/(t/REPS):6.0f} GB/s effective", flush=True)
+
     # ---- 3. merge_sorted at pool shapes ----
     ef = EFC
     pool_d = jnp.sort(jnp.asarray(rng.standard_normal((W, ef)).astype(np.float32)), axis=-1)
@@ -152,6 +160,36 @@ def main():
 
     t, _ = timeit(merge_loop, pool_d, pool_id, pool_exp, nd, nids)
     print(f"merge_sorted:         {t/REPS*1e3:7.2f} ms/hop", flush=True)
+
+    @jax.jit
+    def merge_ranked_loop(pool_d, pool_id, pool_exp, nd, nids):
+        def body(i, carry):
+            pd, pid, pexp = carry
+            d2 = nd + i.astype(jnp.float32) * 0.001
+            pd, pid, pexp = topk.merge_ranked(pd, pid, pexp, d2, nids, ef, dedup=True)
+            return pd, pid, pexp
+        return jax.lax.fori_loop(0, REPS, body, (pool_d, pool_id, pool_exp))[0]
+
+    t, _ = timeit(merge_ranked_loop, pool_d, pool_id, pool_exp, nd, nids)
+    print(f"merge_ranked+dedup:   {t/REPS*1e3:7.2f} ms/hop", flush=True)
+
+    # scatter-by-position alone (the suspect inside merge_ranked on TPU)
+    all_pos = jnp.asarray(rng.integers(0, ef, size=(W, ef + M0)).astype(np.int32))
+    all_val = jnp.asarray(rng.standard_normal((W, ef + M0)).astype(np.float32))
+
+    @jax.jit
+    def scatter_loop(pos, val):
+        b_idx = jax.lax.broadcasted_iota(jnp.int32, pos.shape, 0)
+        def body(i, acc):
+            p = (pos + i) % ef
+            out = jnp.full((W, ef), jnp.inf).at[b_idx, p].set(val, mode="drop")
+            return acc + out[:, 0]
+        return jax.lax.fori_loop(0, REPS, body, jnp.zeros((W,), jnp.float32))
+
+    t, _ = timeit(scatter_loop, all_pos, all_val)
+    print(f"row scatter [W,{ef+M0}]->{ef}: {t/REPS*1e3:7.2f} ms/hop", flush=True)
+    if os.environ.get("PROF_QUICK") == "1":
+        return
 
     # contains + unique_mask (the dedup ops per hop)
     @jax.jit
@@ -181,11 +219,24 @@ def main():
     print(f"links row gather:     {t/REPS*1e3:7.2f} ms/hop", flush=True)
 
     # ---- 4. full beam at construction shapes over a real graph ----
-    t0 = time.perf_counter()
-    build_graph(g, np.arange(N, dtype=np.int64), np.empty(0, dtype=np.int64),
-                BuildOptions(ef_construction=EFC, wave_size=W))
-    t_build = time.perf_counter() - t0
-    print(f"[graph fixture build: {t_build:.1f} s -> {N/t_build:.0f} vec/s]", flush=True)
+    # (fixture cached on disk — the built graph is only a measurement
+    # substrate; delete /tmp/prof_graph.pkl after builder changes that
+    # alter graph shape)
+    import pickle
+
+    cache = f"/tmp/prof_graph_{N}_{D}_{EFC}.pkl"
+    if os.path.exists(cache):
+        with open(cache, "rb") as f:
+            g = pickle.load(f)
+        print(f"[graph fixture loaded from {cache}]", flush=True)
+    else:
+        t0 = time.perf_counter()
+        build_graph(g, np.arange(N, dtype=np.int64), np.empty(0, dtype=np.int64),
+                    BuildOptions(ef_construction=EFC, wave_size=W))
+        t_build = time.perf_counter() - t0
+        print(f"[graph fixture build: {t_build:.1f} s -> {N/t_build:.0f} vec/s]", flush=True)
+        with open(cache, "wb") as f:
+            pickle.dump(g, f)
 
     dev = to_device(g)
     seeds = jnp.broadcast_to(dev.entry_slots[None, :], (W, dev.entry_slots.shape[0]))
@@ -196,28 +247,47 @@ def main():
         it = int(np.asarray(res.iters))
         print(f"beam_search mi={mi:3d}: {t*1e3:8.1f} ms  iters={it}  -> {t/max(it,1)*1e3:6.2f} ms/iter", flush=True)
 
-    # ---- 5. wave_insert_level at level 0 ----
+    # ---- 5. wave_insert_level at level 0, decomposed ----
     from hannoy_tpu.build import wave_ops
+    from hannoy_tpu.ops import prune as prune_mod
     wave = jnp.asarray(rng.choice(N, size=W, replace=False).astype(np.int32))
     node_ok = jnp.asarray(g.valid_mask())
     seeds_np = np.asarray(seeds)
 
-    def run_wave(dev_g):
+    def run_wave(dev_g, bi):
         r = wave_ops.wave_insert_level(
             dev_g, wave, jnp.asarray(seeds_np), node_ok, jnp.int32(0),
-            None, None, is_level0=True, ef=EFC, cap=M0, alpha=1.0, flat=False)
+            None, None, is_level0=True, ef=EFC, cap=M0, alpha=1.0, flat=False,
+            beam_iters=bi)
         return r.graph.links0
 
-    out = run_wave(to_device(g))  # compile
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(3):
-        dev_i = to_device(g)
-        jax.block_until_ready(dev_i.links0)
-        t0 = time.perf_counter()
-        out = jax.device_get(run_wave(dev_i))
-        best = min(best, time.perf_counter() - t0)
-    print(f"wave_insert_level(level0, W={W}): {best*1e3:8.1f} ms -> {W/best:.0f} vec/s (this phase alone)", flush=True)
+    for bi, label in ((EFC + 16, "full beam"), (2, "beam_iters=2")):
+        out = run_wave(to_device(g), bi)  # compile
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(3):
+            dev_i = to_device(g)
+            jax.block_until_ready(dev_i.links0)
+            t0 = time.perf_counter()
+            out = jax.device_get(run_wave(dev_i, bi))
+            best = min(best, time.perf_counter() - t0)
+        print(f"wave_insert_level({label}, W={W}, CH_A={wave_ops._CHUNK_A}, CH_B={wave_ops._CHUNK_B}): {best*1e3:8.1f} ms -> {W/best:.0f} vec/s", flush=True)
+
+    # robust_prune standalone at wave shapes (part of the non-beam cost)
+    dev = to_device(g)
+    cand_ids = jnp.asarray(rng.integers(0, N, size=(W, EFC)).astype(np.int32))
+    cand_d = jnp.sort(jnp.asarray(rng.random((W, EFC)).astype(np.float32)), axis=-1)
+
+    @jax.jit
+    def prune_loop(vectors, norms, cand_ids, cand_d):
+        def body(i, acc):
+            ids, d = prune_mod.robust_prune(
+                metric, vectors, norms, (cand_ids + i) % N, cand_d, M0, 1.0)
+            return acc + jnp.sum(ids[:, 0])
+        return jax.lax.fori_loop(0, 3, body, jnp.int32(0))
+
+    t, _ = timeit(prune_loop, dev.vectors, dev.norms, cand_ids, cand_d, reps=2)
+    print(f"robust_prune [W,{EFC}]->{M0}: {t/3*1e3:8.1f} ms per call", flush=True)
 
 
 if __name__ == "__main__":

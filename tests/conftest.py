@@ -19,6 +19,11 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+# CPU-mesh compiles are cheap; the persistent-cache *write* path
+# (backend_compile_and_load → _compile_and_write_cache → zstd) has
+# segfaulted twice mid-suite on this jax build after ~100 in-process
+# compilations — disable it for tests.
+jax.config.update("jax_enable_compilation_cache", False)
 
 import numpy as np
 import pytest

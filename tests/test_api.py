@@ -515,3 +515,27 @@ def test_build_stats_are_real(db, rng):
     assert stats.waves > 0
     # fresh build touches every item
     assert len(stats.touched) == n
+
+
+def test_incremental_inserts_never_stranded(tmp_path, rng):
+    """Incremental items must stay reachable even when the α-overflow rule
+    would reject every reverse edge into a mature graph (the stranded-
+    insert guarantee, wave_ops._ensure_inbound). Isotropic data is the
+    adversarial case: new random items are far from everything, so their
+    reverse edges lose every overflow prune — before the guarantee, 5/16
+    such inserts were unreachable at any ef (round-2 verify drive)."""
+    from hannoy_tpu import Database, Metric
+
+    d, n = 96, 2000
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    db = Database(tmp_path / "s", Metric.COSINE)
+    with db.writer(dimensions=d, m=8, ef=32) as w:
+        w.add_items(range(n), data)
+    extra = rng.standard_normal((24, d)).astype(np.float32)
+    with db.writer(dimensions=d, m=8, ef=32) as w:
+        w.add_items(range(n, n + 24), extra)
+    reader = db.reader()
+    rows = reader.by_vecs(extra, n=5, ef_search=128)
+    missing = [n + j for j, row in enumerate(rows) if (n + j) not in [t[0] for t in row]]
+    assert not missing, f"stranded incremental inserts: {missing}"
+    db.close()

@@ -142,3 +142,98 @@ def test_empty_and_single_item_graphs(rng):
     slots = np.asarray(res.slots)
     assert (slots[:, 0] == 0).all()
     assert (slots[:, 1:] == -1).all()
+
+
+def test_merge_ranked_matches_merge_sorted(rng):
+    """merge_ranked (the rank-based hot-loop pool merge) must produce the
+    same (dist, id, expanded) triples as the stable sort-merge it replaced,
+    over padded pools, +inf candidates, and duplicate distances."""
+    from hannoy_tpu.ops import topk
+
+    for trial in range(12):
+        B = int(rng.integers(1, 5))
+        K1 = int(rng.integers(1, 9))
+        K2 = int(rng.integers(1, 9))
+        keep = K1
+        # quantized distances force ties; some +inf padding on both sides
+        pool_d = np.sort(
+            np.where(
+                rng.random((B, K1)) < 0.3,
+                np.inf,
+                np.round(rng.random((B, K1)) * 4) / 4,
+            ).astype(np.float32),
+            axis=-1,
+        )
+        pool_id = np.where(np.isfinite(pool_d), rng.integers(0, 100, (B, K1)), -1).astype(np.int32)
+        pool_exp = np.where(
+            np.isfinite(pool_d), rng.integers(0, 2, (B, K1)), 0
+        ).astype(np.int32)
+        cand_d = np.where(
+            rng.random((B, K2)) < 0.3, np.inf, np.round(rng.random((B, K2)) * 4) / 4
+        ).astype(np.float32)
+        cand_id = np.where(np.isfinite(cand_d), rng.integers(0, 100, (B, K2)), -1).astype(np.int32)
+
+        sd, (sid, sexp) = topk.merge_sorted(
+            jnp.asarray(pool_d),
+            (jnp.asarray(pool_id), jnp.asarray(pool_exp)),
+            jnp.asarray(cand_d),
+            (jnp.asarray(cand_id), jnp.zeros_like(jnp.asarray(cand_id))),
+            keep,
+        )
+        rd, rid, rexp = topk.merge_ranked(
+            jnp.asarray(pool_d),
+            jnp.asarray(pool_id),
+            jnp.asarray(pool_exp),
+            jnp.asarray(cand_d),
+            jnp.asarray(cand_id),
+            keep,
+        )
+        np.testing.assert_array_equal(np.asarray(sd), np.asarray(rd), err_msg=f"trial {trial} dists")
+        np.testing.assert_array_equal(np.asarray(sid), np.asarray(rid), err_msg=f"trial {trial} ids")
+        np.testing.assert_array_equal(np.asarray(sexp), np.asarray(rexp), err_msg=f"trial {trial} exp")
+
+
+def test_merge_ranked_dedup_matches_composition(rng):
+    """merge_ranked(dedup=True) == contains/unique masking + merge_sorted."""
+    from hannoy_tpu.ops import topk
+
+    for trial in range(12):
+        B = int(rng.integers(1, 4))
+        K1 = int(rng.integers(2, 9))
+        K2 = int(rng.integers(2, 9))
+        pool_d = np.sort(
+            np.where(rng.random((B, K1)) < 0.25, np.inf, np.round(rng.random((B, K1)) * 4) / 4).astype(np.float32),
+            axis=-1,
+        )
+        # small id space forces pool hits and intra-candidate duplicates
+        pool_id = np.where(np.isfinite(pool_d), rng.integers(0, 12, (B, K1)), -1).astype(np.int32)
+        # a real pool never repeats ids: dedup rows
+        for b in range(B):
+            seen = set()
+            for i in range(K1):
+                if pool_id[b, i] in seen:
+                    pool_id[b, i] = -1
+                    pool_d[b, i] = np.inf
+                seen.add(int(pool_id[b, i]))
+            o = np.argsort(pool_d[b], kind="stable")
+            pool_d[b], pool_id[b] = pool_d[b][o], pool_id[b][o]
+        pool_exp = np.where(np.isfinite(pool_d), rng.integers(0, 2, (B, K1)), 0).astype(np.int32)
+        cand_d = np.where(
+            rng.random((B, K2)) < 0.25, np.inf, np.round(rng.random((B, K2)) * 4) / 4
+        ).astype(np.float32)
+        cand_id = np.where(np.isfinite(cand_d), rng.integers(0, 12, (B, K2)), -1).astype(np.int32)
+
+        jp, jc = jnp.asarray(pool_id), jnp.asarray(cand_id)
+        okm = ~topk.contains(jc, jp) & topk.unique_mask(jc)
+        nd = jnp.where(okm, jnp.asarray(cand_d), np.inf)
+        nids = jnp.where(okm, jc, -1)
+        sd, (sid, sexp) = topk.merge_sorted(
+            jnp.asarray(pool_d), (jp, jnp.asarray(pool_exp)), nd, (nids, jnp.zeros_like(nids)), K1
+        )
+        rd, rid, rexp = topk.merge_ranked(
+            jnp.asarray(pool_d), jp, jnp.asarray(pool_exp),
+            jnp.asarray(cand_d), jc, K1, dedup=True,
+        )
+        np.testing.assert_array_equal(np.asarray(sd), np.asarray(rd), err_msg=f"trial {trial} dists")
+        np.testing.assert_array_equal(np.asarray(sid), np.asarray(rid), err_msg=f"trial {trial} ids")
+        np.testing.assert_array_equal(np.asarray(sexp), np.asarray(rexp), err_msg=f"trial {trial} exp")

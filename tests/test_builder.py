@@ -253,3 +253,41 @@ def test_int8_storage_rejects_non_cosine(rng, monkeypatch):
     g, slots = stage(EUCLIDEAN, data, np.arange(32), m=4, m0=8)
     with pytest.raises(InvalidConfig):
         to_device(g)
+
+
+def test_chain_seeded_build_recall(rng):
+    """Chain-seeded waves (layer-0 waves after the first ≥1024-wide one):
+    each item seeds from its nearest previous-wave member's pruned row and
+    refines with a ~2× smaller beam budget. Quality must match the
+    full-budget build (clustered data — the regime where weak seeding
+    would show up as lost recall)."""
+    n, d, k = 6000, 256, 10
+    centers = rng.standard_normal((48, d)).astype(np.float32) * 4.0
+    data = (centers[rng.integers(0, 48, size=n)] + rng.standard_normal((n, d))).astype(
+        np.float32
+    )
+    g, slots = stage(COSINE, data, np.arange(n))
+    opts = BuildOptions(ef_construction=48, wave_size=4096, chain_seeding=True)
+    build_graph(g, slots, np.empty(0, dtype=np.int64), opts)
+    g.check_validity()
+    queries = (centers[rng.integers(0, 48, size=16)] + rng.standard_normal((16, d))).astype(
+        np.float32
+    )
+    rec = search_recall(g, queries, k, ef=100, metric=COSINE)
+    assert rec >= 0.95, f"chain-seeded build recall@{k}={rec}"
+
+
+def test_chain_seeded_build_is_deterministic(rng):
+    n, d = 5000, 256
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    graphs = []
+    for _ in range(2):
+        g, slots = stage(COSINE, data, np.arange(n))
+        build_graph(
+            g, slots, np.empty(0, dtype=np.int64),
+            BuildOptions(ef_construction=32, wave_size=4096, chain_seeding=True),
+        )
+        graphs.append(g)
+    a, b = graphs
+    assert np.array_equal(a.links0, b.links0)
+    assert a.entry_slots == b.entry_slots
