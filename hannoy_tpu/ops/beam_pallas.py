@@ -17,6 +17,16 @@ Applies to f32 metrics with D a multiple of 128 (the packed codecs are a
 few dozen uint32 lanes per row — too small for per-row DMAs to win);
 everything else falls back to the XLA path, which remains the reference
 implementation. Enable with ``HANNOY_TPU_PALLAS=1``.
+
+Status (measured, see BENCH_NOTES.md round 2): the kernel is DMA-issue
+bound at ~50 ns/row — at beam-hop shapes ([4096, 32] rows of 3 KB) that
+is 6.6 ms/hop vs 5.5 ms for the XLA gather, which is HBM-trip bound at
+nearly the same per-row floor. Neither path beats ~42 ns/row for random
+single-row access; a fundamentally faster hop needs *fewer or larger*
+row fetches (neighbor-block layouts), not a different gather kernel —
+hence default-off. The standalone win (19× on isolated batches) comes
+from XLA materialising [B, K, D] three HBM trips where the kernel does
+one; inside the beam while_loop XLA fuses that margin away.
 """
 
 from __future__ import annotations
