@@ -38,6 +38,56 @@ BASELINE_QPS = 1000.0 / 15.73  # hannoy 100K datacomp, ef=200, recall@10 0.93
 BASELINE_BUILD_VPS = 100_000 / 31.51
 RECALL_BAR = 0.93
 K = 10
+#: quiet-chip HBM stream reference (measured round 2, scripts/profile_build.py)
+QUIET_HBM_GBPS = 369.0
+
+
+def chip_calibration() -> dict:
+    """Measure chip health so BENCH_r0N regressions are attributable.
+
+    The bench chip is shared with unrelated workloads and runs 2-3×
+    slower under contention (BENCH_NOTES.md chip-variance datum), so each
+    run self-reports (a) raw HBM read+write stream bandwidth and (b) the
+    per-dispatch round-trip through the (possibly remote) runtime.
+    ``speed_frac`` ≈ 1.0 means a quiet chip; ≪1 means the absolute
+    timings in the same JSON are contaminated by a noisy neighbor.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((32, 1024, 1024), jnp.float32)  # 128 MiB
+    reps = 16
+
+    @jax.jit
+    def stream(x):
+        def body(i, acc):
+            return acc + x * (1.0 + i.astype(jnp.float32) * 1e-9)
+
+        return jax.lax.fori_loop(0, reps, body, jnp.zeros_like(x))[0, 0]
+
+    jax.device_get(stream(x))  # compile + warm
+    t0 = time.perf_counter()
+    jax.device_get(stream(x))
+    dt = time.perf_counter() - t0
+    # per rep: read x + read acc + write acc = 3 × 128 MiB
+    gbps = 3 * x.nbytes * reps / dt / 1e9
+
+    @jax.jit
+    def nop(i):
+        return i + 1
+
+    jax.device_get(nop(jnp.int32(0)))
+    t0 = time.perf_counter()
+    rtt_reps = 5
+    for i in range(rtt_reps):
+        jax.device_get(nop(jnp.int32(i)))
+    rtt_ms = (time.perf_counter() - t0) / rtt_reps * 1000.0
+
+    return {
+        "hbm_gbps": round(gbps, 1),
+        "dispatch_rtt_ms": round(rtt_ms, 2),
+        "speed_frac": round(gbps / QUIET_HBM_GBPS, 3),
+    }
 
 
 def main() -> None:
@@ -72,6 +122,9 @@ def main() -> None:
     data = (centers[assign] + rng.standard_normal((n, d))).astype(np.float32)
     q_assign = rng.integers(0, n_clusters, size=n_queries)
     queries = (centers[q_assign] + rng.standard_normal((n_queries, d))).astype(np.float32)
+
+    # ---- chip health before any heavy work ----
+    calib_pre = chip_calibration()
 
     # ---- stage ----
     g = HostGraph.empty(metric, d, m, m0, capacity=slot_capacity(n))
@@ -154,6 +207,8 @@ def main() -> None:
                 "build_vectors_per_s": round(build_vps, 1),
                 "build_vs_baseline": round(build_vps / BASELINE_BUILD_VPS, 2),
                 "sweep": {str(e): [round(r, 4), round(s, 1)] for e, (r, s) in results.items()},
+                "calib_pre": calib_pre,
+                "calib_post": chip_calibration(),
                 "device": str(jax.devices()[0]),
             }
         )

@@ -124,7 +124,7 @@ def _replace(g: DeviceGraph, **kw) -> DeviceGraph:
     jax.jit,
     static_argnames=(
         "is_level0", "ef", "cap", "alpha", "inc_cap", "flat", "expand",
-        "beam_iters", "beam_tail", "traverse",
+        "beam_iters", "beam_tail_allow", "traverse",
     ),
     donate_argnames=("g", "dirty", "counters"),
 )
@@ -144,8 +144,10 @@ def wave_insert_level(
     flat: bool = False,
     expand: int = 1,
     beam_iters: int | None = None,
-    beam_tail: float = 0.0,
+    beam_tail_allow: int = 0,
     traverse: int | None = None,
+    pre_ids: jax.Array | None = None,  # [W, ef] precomputed candidates
+    pre_d: jax.Array | None = None,
 ) -> WaveLevelResult:
     """Insert one wave at one level (the batched hnsw.rs:312-327 body).
 
@@ -173,7 +175,12 @@ def wave_insert_level(
         # VMA tracking requires while_loop carries to match, see CLAUDE.md)
         counters = jnp.zeros((4,), dtype=jnp.int32) + 0 * wave_slots[0]
 
-    if flat:
+    if pre_ids is not None:
+        # candidates computed outside the fused wave program — the
+        # cancellable build path runs the beam in host-probed chunks
+        # (builder._chunked_candidates) and hands the pool in here
+        cand_ids, cand_d = pre_ids, pre_d
+    elif flat:
         d_mat = distances.matrix_distances(metric, q, qn, g.vectors, g.norms)
         member = (
             g.valid
@@ -203,7 +210,7 @@ def wave_insert_level(
         res = beam.beam_search(
             g, q, qn, seeds, ef, max_iters=mi, node_ok=node_ok, level=level,
             expand=expand, traverse_k=tk,
-            tail_frac=beam_tail if is_level0 else 0.0,
+            tail_allow=beam_tail_allow if is_level0 else 0,
         )
         cand_ids, cand_d = res.slots, res.dists
         width = int(cap if is_level0 else g.upper_links.shape[-1])
@@ -230,21 +237,64 @@ def wave_insert_level(
     dirty = dirty.at[jnp.where(wave_ok, wave_slots, g.capacity)].set(True, mode="drop")
 
     # ---- reverse edges: sorted-COO segment merge ----
-    # Edges are grouped by destination (sorted by (dst, distance) for
-    # determinism) and merged in two passes (reference add_link semantics,
-    # hnsw.rs:523-560: push while there is room, α-prune on overflow):
-    #   A. a *cheap* distance-merge with no vector gathers, run only over
-    #      the real unique destinations (while_loop with a dynamic trip
-    #      count — the old fixed-grid lax.map burned ~2/3 of every wave on
-    #      padding chunks and unconditional α-prune gathers);
-    #   B. an α-prune over only the rows that overflowed the physical
-    #      table width, compacted to a prefix.
-    # With build-time slack (table width > cap) overflow is rare and B is
-    # nearly free; slack rows are reduced back to ``cap`` by
-    # ``prune_slack_rows`` at build end. slack=0 reproduces the reference's
-    # per-overflow prune exactly.
+    g, counters, u_dst = reverse_merge_edges(
+        g, level, wave_slots, sel_ids, sel_d, counters, cap, alpha, inc_cap
+    )
+    dirty = dirty.at[jnp.where(u_dst != NO_ID, u_dst, g.capacity)].set(True, mode="drop")
+
+    # ---- stranded-insert guarantee (layer 0) ----
+    # The α-overflow rule can reject *every* reverse edge of a new item
+    # inserted into a mature graph (its distances lose against settled
+    # rows), leaving the item with outbound links only — permanently
+    # unreachable by search. The reference shares this failure mode
+    # (add_link drops the incoming edge on overflow, hnsw.rs:538-552);
+    # measured here: 5/16 incremental inserts stranded at 3k×96-d
+    # isotropic. Guarantee minimum in-degree instead: any wave item not
+    # present in its 4 nearest selected neighbors' rows is force-linked
+    # into its nearest neighbor's worst slot (deterministic, row re-sorted).
+    if is_level0:
+        g, dirty, counters = _ensure_inbound(
+            g, wave_slots, sel_ids, sel_d, dirty, counters
+        )
+
+    return WaveLevelResult(g, sel_ids, dirty, counters)
+
+
+def reverse_merge_edges(
+    g: DeviceGraph,
+    level,
+    src_slots: jax.Array,  # [W] edge sources (-1 padded)
+    sel_ids: jax.Array,  # [W, cap] each source's selected destinations
+    sel_d: jax.Array,  # [W, cap]
+    counters: jax.Array,
+    cap: int,
+    alpha: float,
+    inc_cap: int = 16,
+) -> tuple[DeviceGraph, jax.Array, jax.Array]:
+    """Merge the reverse of (src → sel) edges into destination rows.
+
+    Edges are grouped by destination (sorted by (dst, distance) for
+    determinism) and merged in two passes (reference add_link semantics,
+    hnsw.rs:523-560: push while there is room, α-prune on overflow):
+
+    A. a *cheap* distance-merge with no vector gathers, run only over
+       the real unique destinations (while_loop with a dynamic trip
+       count — a fixed-grid lax.map would burn ~2/3 of every wave on
+       padding chunks and unconditional α-prune gathers);
+    B. an α-prune over only the rows that overflowed the physical
+       table width, compacted to a prefix.
+
+    With build-time slack (table width > cap) overflow is rare and B is
+    nearly free; slack rows are reduced back to ``cap`` by
+    ``prune_slack_rows`` at build end. slack=0 reproduces the reference's
+    per-overflow prune exactly. Shared by the wave inserter
+    (``wave_insert_level``) and the bulk connector (``build/bulk.py``).
+
+    Returns (graph, counters, u_dst) — ``u_dst`` [W*cap] holds the unique
+    destinations touched (NO_ID padded) for dirty tracking.
+    """
     dst = sel_ids.reshape(-1)  # [W*cap]
-    src = jnp.repeat(wave_slots, cap)
+    src = jnp.repeat(src_slots, cap)
     rd = sel_d.reshape(-1)
     ok = (dst != NO_ID) & (src != NO_ID)
     # sort by (dst, distance); invalid dsts sort last
@@ -280,24 +330,7 @@ def wave_insert_level(
     g, counters = _reverse_prune_overflow(
         g, level, u_dst, inc_ids, inc_d, over_pos, counters, cap, alpha
     )
-    dirty = dirty.at[jnp.where(u_dst != NO_ID, u_dst, g.capacity)].set(True, mode="drop")
-
-    # ---- stranded-insert guarantee (layer 0) ----
-    # The α-overflow rule can reject *every* reverse edge of a new item
-    # inserted into a mature graph (its distances lose against settled
-    # rows), leaving the item with outbound links only — permanently
-    # unreachable by search. The reference shares this failure mode
-    # (add_link drops the incoming edge on overflow, hnsw.rs:538-552);
-    # measured here: 5/16 incremental inserts stranded at 3k×96-d
-    # isotropic. Guarantee minimum in-degree instead: any wave item not
-    # present in its 4 nearest selected neighbors' rows is force-linked
-    # into its nearest neighbor's worst slot (deterministic, row re-sorted).
-    if is_level0:
-        g, dirty, counters = _ensure_inbound(
-            g, wave_slots, sel_ids, sel_d, dirty, counters
-        )
-
-    return WaveLevelResult(g, sel_ids, dirty, counters)
+    return g, counters, u_dst
 
 
 def _ensure_inbound(
@@ -320,6 +353,16 @@ def _ensure_inbound(
     most ``force_cap`` per destination, sorted by (destination, distance)
     like the reverse merge), and touched rows are re-sorted to keep the
     ascending-row invariant.
+
+    The guarantee is *bounded*, not absolute: (a) when more than
+    ``force_cap`` stranded items share the same nearest destination, items
+    at rank >= force_cap stay stranded this wave; (b) a forced edge sits in
+    its destination row's worst slots, so a later wave's reverse merge or
+    force-link can displace it, re-stranding the earlier item. Both cases
+    are strictly rarer than the unconditional stranding they replace (the
+    reference has no such pass at all — add_link just drops the incoming
+    edge on overflow, hnsw.rs:538-552), and searches still complete
+    short rows via the degraded top-up (reader.rs:771-795 analogue).
     """
     W, cap = sel_ids.shape
     near = sel_ids[:, :k_check]

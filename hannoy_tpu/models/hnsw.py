@@ -226,6 +226,45 @@ class HostGraph:
             self.upper_links[level - 1][row, :k] = link_slots[:k]
             self.upper_dists[level - 1][row, :k] = link_dists[:k]
 
+    def permute(self, perm: np.ndarray) -> None:
+        """Renumber slots: new slot ``i`` takes old slot ``perm[i]``.
+
+        ``perm`` must be a bijection over the full capacity. Purely an
+        in-memory layout change — the store is item-id-keyed (8-byte keys,
+        schema.py), so persisted data is unaffected; the point is HBM
+        locality (the bulk builder renumbers by cluster so neighboring
+        rows are adjacent, build/bulk.py). Link *values* are slots and are
+        remapped through the inverse; upper-table row numbers are not
+        slots and keep their order (only ``slot_rows`` re-indexes).
+        """
+        perm = np.asarray(perm, dtype=np.int64)
+        assert perm.shape[0] == self.capacity
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(self.capacity, dtype=np.int64)
+
+        def remap_vals(table: np.ndarray) -> np.ndarray:
+            return np.where(table >= 0, inv[np.maximum(table, 0)], -1).astype(table.dtype)
+
+        self.ids = self.ids[perm]
+        self.levels = self.levels[perm]
+        self.vectors = self.vectors[perm]
+        self.norms = self.norms[perm]
+        self.links0 = remap_vals(self.links0)[perm]
+        self.dists0 = self.dists0[perm]
+        for l in range(len(self.upper_links)):
+            self.upper_links[l] = remap_vals(self.upper_links[l])
+            self.slot_rows[l] = self.slot_rows[l][perm]
+        self.entry_slots = [int(inv[e]) for e in self.entry_slots]
+        self.id_to_slot = {
+            int(self.ids[s]): int(s)
+            for s in np.nonzero(self.ids != INVALID_ID)[0]
+        }
+        # free/fresh tracking: fold every unallocated slot into the free
+        # list (ascending, so pops hand out high slots first) — the
+        # allocated/never-allocated split doesn't survive a permutation
+        self.free_slots = np.nonzero(self.ids == INVALID_ID)[0].tolist()
+        self.next_fresh = self.capacity
+
     # -- store I/O ---------------------------------------------------------
     @classmethod
     def load(

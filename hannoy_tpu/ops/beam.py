@@ -203,6 +203,7 @@ def beam_search(
     expand: int = 1,
     traverse_k: Optional[int] = None,
     tail_frac: float = 0.0,
+    tail_allow: Optional[int] = None,
 ) -> BeamResult:
     """Unfiltered beam search at ``level`` (hnsw.rs walk_layer semantics;
     builders run it per layer, searches at layer 0).
@@ -230,6 +231,12 @@ def beam_search(
     builders pass a small tail (stragglers keep their current pool, which
     is still a valid candidate set); searches default to 0.0 (exact
     reference termination, hnsw.rs:483-487).
+
+    ``tail_allow``: absolute override for the straggler allowance.
+    Builders whose batch carries padding rows (a partially-filled wave)
+    must size the allowance from the *real* item count, not ``B`` —
+    padding rows all duplicate slot 0 and converge together, so a
+    B-derived allowance could cut off every real beam in a sparse wave.
     """
     if max_iters is None:
         max_iters = (2 * ef + 16 + expand - 1) // expand
@@ -239,7 +246,7 @@ def beam_search(
     pool_d, pool_id, pool_exp = _seed_pool(g, q, qn, start, ef, node_ok)
     body, cond = _beam_step(
         g, q, qn, node_ok, ef, min(expand, ef), level, max_iters, traverse_k,
-        tail_allow=int(tail_frac * q.shape[0]),
+        tail_allow=int(tail_frac * q.shape[0]) if tail_allow is None else tail_allow,
     )
     pool_d, pool_id, pool_exp, iters = jax.lax.while_loop(
         cond, body, (pool_d, pool_id, pool_exp, jnp.int32(0))
@@ -354,14 +361,21 @@ def beam_search_filtered(
     candidates. Termination compares the frontier's best unexpanded entry
     against the *result* pool's worst (reader.rs:329-336).
     """
-    metric = g.metric
     if max_iters is None:
         max_iters = 2 * ef + 16
-    B = q.shape[0]
     if node_ok is None:
         node_ok = g.valid
-    cand_ok = node_ok & candidate_mask
+    state = _filtered_seed_pools(g, q, qn, start, candidate_mask, node_ok, ef)
+    step, cond = _filtered_step(g, q, qn, node_ok, candidate_mask, ef, max_iters)
+    fr_d, fr_id, fr_exp, res_d, res_id, iters = jax.lax.while_loop(cond, step, state)
+    return BeamResult(res_d, res_id, iters)
 
+
+def _filtered_seed_pools(g, q, qn, start, candidate_mask, node_ok, ef: int):
+    """Initial (frontier, result) pools for the filtered beam."""
+    metric = g.metric
+    B = q.shape[0]
+    cand_ok = node_ok & candidate_mask
     seed_ok = (start >= 0) & node_ok[jnp.maximum(start, 0)]
     seeds = jnp.where(seed_ok, start, NO_ID)
     d = seed_distances(metric, g.vectors, g.norms, q, qn, seeds)
@@ -379,6 +393,13 @@ def beam_search_filtered(
     res_d = jnp.full((B, ef), INF)
     res_id = jnp.full((B, ef), NO_ID, dtype=jnp.int32)
     res_d, (res_id,) = topk.merge_sorted(res_d, (res_id,), seed_cand_d, (seed_cand,), ef)
+    return fr_d, fr_id, fr_exp, res_d, res_id, jnp.int32(0)
+
+
+def _filtered_step(g, q, qn, node_ok, candidate_mask, ef: int, max_iters: int):
+    """(step, cond) for the filtered beam while_loop — shared between the
+    one-shot search and the chunked/cancellable runner."""
+    cand_ok = node_ok & candidate_mask
 
     def step(state):
         fr_d, fr_id, fr_exp, res_d, res_id, it = state
@@ -417,9 +438,7 @@ def beam_search_filtered(
         active = (best_d <= res_d[:, -1]) & (best_d < INF)
         return jnp.any(active) & (it < max_iters)
 
-    init = (fr_d, fr_id, fr_exp, res_d, res_id, jnp.int32(0))
-    fr_d, fr_id, fr_exp, res_d, res_id, iters = jax.lax.while_loop(cond, step, init)
-    return BeamResult(res_d, res_id, iters)
+    return step, cond
 
 
 # --------------------------------------------------------------------------
@@ -485,6 +504,60 @@ def _beam_chunk(
     return pool_d, pool_id, pool_exp, it, active
 
 
+@partial(
+    jax.jit,
+    static_argnames=("ef", "chunk", "is_level0", "expand", "traverse_k", "tail_allow"),
+)
+def _build_beam_chunk(
+    g: DeviceGraph,
+    q: jax.Array,
+    qn: jax.Array,
+    node_ok: jax.Array,
+    level: jax.Array,  # traced; read only when not is_level0
+    pool_d: jax.Array,
+    pool_id: jax.Array,
+    pool_exp: jax.Array,
+    ef: int,
+    chunk: int,
+    is_level0: bool,
+    expand: int = 1,
+    traverse_k: Optional[int] = None,
+    tail_allow: int = 0,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Construction-grade ``_beam_chunk``: any level, node_ok mask, and
+    the builder's expand/traverse/tail knobs. Used by the cancellable
+    wave inserter (builder._chunked_candidates) so a multi-second wave
+    beam can be cut off between device dispatches — the probing-
+    granularity analogue of the reference's CANCELLATION_PROBING=10000
+    in-loop checks (hnsw.rs:174-177, lib.rs:140)."""
+    lvl = 0 if is_level0 else level
+    body, cond = _beam_step(
+        g, q, qn, node_ok, ef, min(expand, ef), lvl, chunk, traverse_k,
+        tail_allow=tail_allow,
+    )
+    pool_d, pool_id, pool_exp, it = jax.lax.while_loop(
+        cond, body, (pool_d, pool_id, pool_exp, jnp.int32(0))
+    )
+    unexp_d = jnp.where((pool_exp == 0) & (pool_id != NO_ID), pool_d, INF)
+    best_d = jnp.min(unexp_d, axis=-1)
+    n_active = jnp.sum(
+        (best_d <= pool_d[:, -1]) & (best_d < INF), dtype=jnp.int32
+    )
+    return pool_d, pool_id, pool_exp, it, n_active > tail_allow
+
+
+@partial(jax.jit, static_argnames=("ef",))
+def seed_wave_pool(
+    g: DeviceGraph, wave_slots: jax.Array, start: jax.Array, node_ok: jax.Array, ef: int
+):
+    """Gather a wave's query rows and seed its beam pool in one program
+    (the cancellable construction path runs the beam outside the fused
+    wave jit). → (q, qn, pool_d, pool_id, pool_exp)."""
+    q = g.vectors[jnp.maximum(wave_slots, 0)]
+    qn = g.norms[jnp.maximum(wave_slots, 0)]
+    return (q, qn) + _seed_pool(g, q, qn, start, ef, node_ok)
+
+
 def hnsw_search_cancellable(
     g: DeviceGraph,
     q: jax.Array,
@@ -522,6 +595,80 @@ def hnsw_search_cancellable(
         if not bool(active):
             break
     return BeamResult(pool_d, pool_id, jnp.int32(total)), bool(cancel_fn())
+
+
+@partial(jax.jit, static_argnames=("ef",))
+def _filtered_descend_and_seed(
+    g: DeviceGraph, q: jax.Array, qn: jax.Array, candidate_mask: jax.Array, ef: int
+):
+    """Greedy descent → initial filtered pools (the resumable carry)."""
+    if g.max_level >= 1:
+        start = greedy_descend(g, q, qn, g.max_level, 1)[:, None]
+    else:
+        start = jnp.broadcast_to(
+            g.entry_slots[None, :], (q.shape[0], g.entry_slots.shape[0])
+        )
+    return _filtered_seed_pools(g, q, qn, start, candidate_mask, g.valid, ef)
+
+
+@partial(jax.jit, static_argnames=("ef", "chunk"))
+def _filtered_chunk(
+    g: DeviceGraph,
+    q: jax.Array,
+    qn: jax.Array,
+    candidate_mask: jax.Array,
+    fr_d, fr_id, fr_exp, res_d, res_id,
+    ef: int,
+    chunk: int,
+):
+    """At most ``chunk`` filtered-beam iterations from saved pools."""
+    step, cond = _filtered_step(g, q, qn, g.valid, candidate_mask, ef, chunk)
+    state = (fr_d, fr_id, fr_exp, res_d, res_id, jnp.int32(0))
+    fr_d, fr_id, fr_exp, res_d, res_id, it = jax.lax.while_loop(cond, step, state)
+    unexp_d = jnp.where((fr_exp == 0) & (fr_id != NO_ID), fr_d, INF)
+    best_d = jnp.min(unexp_d, axis=-1)
+    active = jnp.any((best_d <= res_d[:, -1]) & (best_d < INF))
+    return fr_d, fr_id, fr_exp, res_d, res_id, it, active
+
+
+def hnsw_search_filtered_cancellable(
+    g: DeviceGraph,
+    q: jax.Array,
+    qn: jax.Array,
+    candidate_mask: jax.Array,
+    ef: int,
+    cancel_fn,
+    max_iters: Optional[int] = None,
+    chunk: int = 16,
+) -> tuple[BeamResult, bool]:
+    """Filtered search with mid-flight cooperative cancellation — the
+    candidates-bitmap analogue of ``hnsw_search_cancellable`` (round 2
+    only polled cancel before/after the whole filtered program). Returns
+    the result pool so far as partials when the cancel fires
+    (Completion::Cancelled, reference reader.rs:263-280)."""
+    if max_iters is None:
+        max_iters = 2 * ef + 16
+    B = q.shape[0]
+    if cancel_fn():
+        empty = BeamResult(
+            jnp.full((B, ef), INF), jnp.full((B, ef), NO_ID, dtype=jnp.int32), jnp.int32(0)
+        )
+        return empty, True
+    fr_d, fr_id, fr_exp, res_d, res_id, _ = _filtered_descend_and_seed(
+        g, q, qn, candidate_mask, ef
+    )
+    total = 0
+    while total < max_iters:
+        if cancel_fn():
+            return BeamResult(res_d, res_id, jnp.int32(total)), True
+        step = min(chunk, max_iters - total)
+        fr_d, fr_id, fr_exp, res_d, res_id, it, active = _filtered_chunk(
+            g, q, qn, candidate_mask, fr_d, fr_id, fr_exp, res_d, res_id, ef, step
+        )
+        total += int(it)
+        if not bool(active):
+            break
+    return BeamResult(res_d, res_id, jnp.int32(total)), bool(cancel_fn())
 
 
 @partial(jax.jit, static_argnames=("ef", "max_iters"))

@@ -236,6 +236,52 @@ def matrix_distances(
     return _packed_from_popcount(name, pc, d_pad, q_norm[:, None] * db_norm[None, :])
 
 
+def block_distances(
+    metric: Metric,
+    q: jax.Array,  # [G, S, D*] row blocks
+    q_norm: jax.Array,  # [G, S]
+    c: jax.Array,  # [G, T, D*] column blocks
+    c_norm: jax.Array,  # [G, T]
+) -> jax.Array:
+    """Batched block distance matrices → [G, S, T].
+
+    The bulk-construction hot op (build/bulk.py): distances between G
+    cluster row-blocks and their adjacent-cluster column-blocks ride the
+    MXU as one batched matmul — the whole point of the cluster-blocked
+    builder is to turn the reference's per-pair pointer-chasing distance
+    calls (hnsw.rs:503) into dense contraction the systolic array eats.
+
+    Dot metrics only (cosine / euclidean via the norm expansion, same
+    deviation note as :func:`matrix_distances`); manhattan and the packed
+    codecs would materialize [G, S, T, D] and stay on the wave path.
+    """
+    name = metric.name
+    if c.dtype == jnp.int8:
+        c = c.astype(jnp.float32)
+    bf16 = c.dtype == jnp.bfloat16
+    prec = None if bf16 else MATMUL_PRECISION
+    if name == "cosine":
+        dots = jnp.einsum(
+            "gsd,gtd->gst", q.astype(c.dtype), c,
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        denom = q_norm[:, :, None] * c_norm[:, None, :]
+        cos = jnp.clip(dots / jnp.maximum(denom, _EPS), -1.0, 1.0)
+        return jnp.where(denom > _EPS, (1.0 - cos) * 0.5, 0.0)
+    if name == "euclidean":
+        dots = jnp.einsum(
+            "gsd,gtd->gst", q.astype(c.dtype), c,
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        q2 = jnp.einsum("gsd,gsd->gs", q, q, preferred_element_type=jnp.float32, precision=MATMUL_PRECISION)
+        c2 = jnp.einsum(
+            "gtd,gtd->gt", c.astype(jnp.float32), c.astype(jnp.float32),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        return jnp.maximum(q2[:, :, None] + c2[:, None, :] - 2.0 * dots, 0.0)
+    raise ValueError(f"block_distances supports dot metrics only, got {name}")
+
+
 def _packed_from_popcount(name: str, pc: jax.Array, d_pad: int, norm_prod: jax.Array) -> jax.Array:
     pc = pc.astype(jnp.float32)
     if name == "hamming":

@@ -1,6 +1,6 @@
 """Quick CPU sanity check of the chain-seeded wave path: build 20k
 with waves wide enough to trigger the split, compare recall + link health
-against the non-proto build. Usage: python scripts/check_proto.py [N]
+against the non-proto build. Usage: python scripts/check_chain.py [N]
 """
 
 from __future__ import annotations

@@ -13,9 +13,18 @@ cd "$(dirname "$0")/.."
 CHUNKS=(
   "tests/test_api.py tests/test_beam.py"
   "tests/test_builder.py tests/test_codecs.py tests/test_distances.py"
+  "tests/test_bulk.py"
   "tests/test_fuzz.py tests/test_pallas.py tests/test_schema.py"
   "tests/test_sharded.py tests/test_store.py"
 )
+# fail loudly if a new tests/test_*.py is not covered by any chunk
+listed=$(echo "${CHUNKS[@]}" | tr ' ' '\n' | sort)
+actual=$(ls tests/test_*.py | sort)
+if [ "$listed" != "$actual" ]; then
+  echo "ERROR: CHUNKS out of sync with tests/test_*.py" >&2
+  diff <(echo "$listed") <(echo "$actual") >&2 || true
+  exit 1
+fi
 for c in "${CHUNKS[@]}"; do
   echo "=== pytest $c"
   python -m pytest $c -x -q "$@"

@@ -291,3 +291,63 @@ def test_chain_seeded_build_is_deterministic(rng):
     a, b = graphs
     assert np.array_equal(a.links0, b.links0)
     assert a.entry_slots == b.entry_slots
+
+
+def test_in_wave_cancellation_fires_mid_wave(rng):
+    """A cancel firing during a single wide wave must abort inside that
+    wave's beam (probed per device chunk — reference probes every
+    CANCELLATION_PROBING ops in its insert loop, hnsw.rs:174-177), not
+    after the wave completes."""
+    from hannoy_tpu.build import builder as _b
+
+    n = 3000
+    data = rng.standard_normal((n, 16)).astype(np.float32)
+    metric = distances.COSINE
+    g = HostGraph.empty(metric, 16, 8, 16, capacity=slot_capacity(n))
+    packed = codecs.pack(data, metric.codec)
+    norms = distances.np_norms(metric, packed)
+    slots = np.arange(n, dtype=np.int64)
+    for i in range(n):
+        g.alloc_slot(i)
+    g.vectors[:n] = packed
+    g.norms[:n] = norms
+
+    calls = {"n": 0}
+
+    def cancel():
+        calls["n"] += 1
+        # let the ramp pass the flat bootstrap, then fire while a wide
+        # wave's chunked beam is mid-flight
+        return calls["n"] > 40
+
+    with pytest.raises(BuildCancelled):
+        build_graph(
+            g, slots, np.empty(0, dtype=np.int64),
+            BuildOptions(ef_construction=48, wave_size=2048, cancel=cancel, bulk=False),
+        )
+    # the chunked path really ran: far more probes than waves
+    assert calls["n"] > 40
+
+
+def test_cancellable_build_matches_fused_build(rng):
+    """The chunked (cancellable) construction beam must produce the same
+    graph as the fused path — same algorithm, different dispatch shape."""
+    n = 1500
+    data = rng.standard_normal((n, 16)).astype(np.float32)
+    metric = distances.COSINE
+    graphs = []
+    for cancel in (None, lambda: False):
+        g = HostGraph.empty(metric, 16, 8, 16, capacity=slot_capacity(n))
+        packed = codecs.pack(data, metric.codec)
+        norms = distances.np_norms(metric, packed)
+        slots = np.arange(n, dtype=np.int64)
+        for i in range(n):
+            g.alloc_slot(i)
+        g.vectors[:n] = packed
+        g.norms[:n] = norms
+        kw = dict(ef_construction=32, wave_size=256, bulk=False)
+        if cancel is not None:
+            kw["cancel"] = cancel
+        build_graph(g, slots, np.empty(0, dtype=np.int64), BuildOptions(**kw))
+        graphs.append(g)
+    assert np.array_equal(graphs[0].links0, graphs[1].links0)
