@@ -67,6 +67,11 @@ def main() -> None:
     ap.add_argument("--m", type=int, default=16)
     ap.add_argument("--m0", type=int, default=None)
     ap.add_argument("--efc", type=int, default=48)
+    ap.add_argument("--alpha", type=float, default=1.0)
+    ap.add_argument(
+        "--bulk", choices=("auto", "on", "off"), default="auto",
+        help="cluster-blocked fresh-build path (build/bulk.py)",
+    )
     ap.add_argument("--wave", type=int, default=4096)
     ap.add_argument("--ef", default="50,100,200")
     ap.add_argument("--k", type=int, default=10)
@@ -82,13 +87,17 @@ def main() -> None:
     k = args.k
     queries = dataset.queries[: args.queries]
 
+    bulk = {"auto": None, "on": True, "off": False}[args.bulk]
     builds = 2 if args.steady else 1
     for b in range(builds):
         g, slots = stage(dataset, args.m, m0)
         t0 = time.perf_counter()
         build_graph(
             g, slots, np.empty(0, dtype=np.int64),
-            BuildOptions(ef_construction=args.efc, wave_size=args.wave),
+            BuildOptions(
+                ef_construction=args.efc, wave_size=args.wave,
+                alpha=args.alpha, bulk=bulk,
+            ),
         )
         build_s = time.perf_counter() - t0
         if b == 0:
@@ -130,6 +139,8 @@ def main() -> None:
         "m": args.m,
         "m0": m0,
         "ef_construction": args.efc,
+        "alpha": args.alpha,
+        "bulk": args.bulk,
         "k": k,
         "n_queries": int(queries.shape[0]),
         "build_seconds": round(build_s, 2),
@@ -138,6 +149,12 @@ def main() -> None:
         "curve": curve,
         "device": str(jax.devices()[0]),
     }
+    try:
+        from bench import chip_calibration
+
+        result["calib"] = chip_calibration()
+    except Exception:
+        pass
     line = json.dumps(result)
     print(line)
     if args.out:

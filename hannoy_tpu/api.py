@@ -109,14 +109,15 @@ _ENVS: dict[str, Env] = {}
 _ENVS_LOCK = threading.Lock()
 
 
-def _shared_env(path: str, map_size: int) -> Env:
-    key = os.path.realpath(path)
+def _shared_env(path: str, map_size: int, readonly: bool = False) -> Env:
+    key = os.path.realpath(path) + ("//ro" if readonly else "")
     with _ENVS_LOCK:
         env = _ENVS.get(key)
         if env is None:
-            env = open_env(path, map_size)
+            env = open_env(path, map_size, readonly=readonly)
             env._graph_cache = {}  # {(name,index): (gen_id, HostGraph)}
             env._shared_wtxn = None
+            env._registry_key = key
             _ENVS[key] = env
         return env
 
@@ -163,10 +164,30 @@ class Database:
         distance: Metric = Metric.EUCLIDEAN,
         name: Optional[str] = None,
         env_size: Optional[int] = None,
+        readonly: bool = False,
+        map_size: Optional[int] = None,
     ):
-        self._env = _shared_env(str(path), env_size or DEFAULT_ENV_SIZE)
+        """``readonly=True`` opens a lock-free consistent snapshot that
+        coexists with a live writer in ANOTHER process (LMDB's concurrent
+        readers, reference README.md:13 + parallel.rs:19-31): Readers work,
+        any write raises, and ``refresh()`` adopts commits made since open."""
+        self._env = _shared_env(
+            str(path), map_size or env_size or DEFAULT_ENV_SIZE, readonly=readonly
+        )
         self._db = self._env.create_database(None, name)
         self._metric = distance
+        self.readonly = readonly
+
+    def refresh(self) -> bool:
+        """Read-only databases: re-snapshot the store to see later commits
+        (returns True when anything changed). No-op on writable handles —
+        they always see their own environment's latest generation."""
+        if not self.readonly:
+            return False
+        changed = self._env.refresh()
+        if changed:
+            self._env._graph_cache.clear()
+        return changed
 
     # -- transactions --------------------------------------------------
     def _wtxn(self):
@@ -199,7 +220,7 @@ class Database:
         release the process lock. Environments are shared per path
         (python.rs:18 OnceCell analogue), so every Database handle on this
         path becomes invalid; construct a new Database to reopen."""
-        key = os.path.realpath(self._env.path)
+        key = getattr(self._env, "_registry_key", os.path.realpath(self._env.path))
         with _ENVS_LOCK:
             # evict only on identity match: a stale handle's second close()
             # (or closing an old handle after the path was reopened) must

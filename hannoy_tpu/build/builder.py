@@ -603,7 +603,12 @@ def _repair_deletions(
     del_arr[list(deleted_set)] = True
     deleted_j = jnp.asarray(del_arr)
 
-    for level in range(g.max_level + 1):
+    # Repair EVERY stored layer, not just 0..max_level: a height reset
+    # (prepare_entry_points case 1) can leave survivors' rows on layers
+    # above the new max_level, and those must be cleansed of deleted ids
+    # too — the reference resizes its layer list to cover all on-disk
+    # links rows for exactly this reason (hnsw.rs:346-357).
+    for level in range(len(g.upper_links) + 1):
         if level == 0:
             table = g.links0
             owners = np.arange(g.capacity)

@@ -6,6 +6,7 @@ from .sharded import (
     sharded_insert_wave,
 )
 from .sharded_api import ShardedReader, ShardedWriter, shard_of
+from .spmd_build import spmd_store_build
 
 __all__ = [
     "SHARD_AXIS",
@@ -19,4 +20,5 @@ __all__ = [
     "ShardedReader",
     "ShardedWriter",
     "shard_of",
+    "spmd_store_build",
 ]

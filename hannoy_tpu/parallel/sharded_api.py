@@ -33,8 +33,13 @@ def shard_of(item_id: int, n_shards: int) -> int:
 class ShardedWriter:
     """Routes item CRUD to per-shard Writers and builds every shard.
 
-    Builds are sequential over shards on a single host (each shard's waves
-    run on the default device); the *serving* path is the SPMD fan-out.
+    ``build()`` drives all shards' journal-pending changes (inserts AND
+    deletes) through lockstep SPMD device waves under one ``shard_map``
+    (``spmd_build.spmd_store_build``) when the mesh has a device per
+    shard; on a smaller device count it falls back to sequential
+    single-chip builds per shard (which can use the cluster-blocked bulk
+    path — the right mode for one big chip hosting many shards). Either
+    way durability flows through each shard's ordinary store epilogue.
     """
 
     def __init__(
@@ -46,6 +51,7 @@ class ShardedWriter:
         m: int = 16,
         ef: int = 96,
         m0: Optional[int] = None,
+        mesh: Optional[Mesh] = None,
     ):
         self.n_shards = n_shards
         self.base_index = base_index
@@ -54,6 +60,7 @@ class ShardedWriter:
             for s in range(n_shards)
         ]
         self._database = database
+        self._mesh = mesh
 
     def add_item(self, item: int, vector) -> None:
         self._writers[shard_of(item, self.n_shards)].add_item(item, vector)
@@ -69,10 +76,28 @@ class ShardedWriter:
     def del_item(self, item: int) -> bool:
         return self._writers[shard_of(item, self.n_shards)].del_item(item)
 
-    def build(self, **kw) -> None:
-        for w in self._writers:
-            if w.need_build():
-                w.builder().build(**kw)
+    def build(self, spmd: Optional[bool] = None, opts=None, **kw) -> None:
+        """Build every shard's pending changes.
+
+        ``spmd=None`` (auto) uses the lockstep SPMD path when the runtime
+        has at least ``n_shards`` devices, sequential single-chip builds
+        otherwise. ``opts`` is a shared ``BuildOptions`` for the SPMD
+        path; ``**kw`` (m/m0) forwards to the per-shard builders on the
+        sequential path."""
+        import jax
+
+        if not any(w.need_build() for w in self._writers):
+            return
+        if spmd is None:
+            spmd = self._mesh is not None or len(jax.devices()) >= self.n_shards
+        if spmd:
+            from .spmd_build import spmd_store_build
+
+            spmd_store_build(self._writers, opts=opts, mesh=self._mesh)
+        else:
+            for w in self._writers:
+                if w.need_build():
+                    w.builder().build(**kw)
 
     def __enter__(self) -> "ShardedWriter":
         return self

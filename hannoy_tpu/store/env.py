@@ -220,16 +220,36 @@ class Env:
     ``src/python.rs:15``).
     """
 
-    def __init__(self, path: str | os.PathLike, map_size: int = 1024 * 1024 * 1024):
+    def __init__(
+        self,
+        path: str | os.PathLike,
+        map_size: int = 1024 * 1024 * 1024,
+        readonly: bool = False,
+    ):
         self.path = str(path)
         self.map_size = map_size
+        self.readonly = readonly
         os.makedirs(self.path, exist_ok=True)
         self._log_path = os.path.join(self.path, "hannoy.log")
         self._write_lock = threading.Lock()
         self._writer: Optional[RwTxn] = None
         self._live_bytes = 0
-        # one owning process per environment: the append-only log has no
-        # cross-process coordination (unlike LMDB's shared-memory locks),
+        if readonly:
+            # Cross-process snapshot open (LMDB parity: other processes may
+            # open the env read-only while one writes, reference
+            # README.md:13 + parallel.rs:19-31). The append-only log makes
+            # this lock-free: complete batches are immutable, so replaying
+            # the longest valid prefix yields a consistent MVCC snapshot no
+            # matter what the writer is appending concurrently (a
+            # mid-append batch parses as a torn tail and is simply not part
+            # of the snapshot). ``refresh()`` re-replays to pick up
+            # later commits.
+            self._lock_file = None
+            self._log = None
+            self._gen = self._replay()
+            return
+        # one owning WRITER process per environment: the append-only log has
+        # no cross-process coordination (unlike LMDB's shared-memory locks),
         # so a second writer would interleave batches and corrupt the tail.
         # The lock lives on a sidecar file so compaction's atomic rename of
         # the log can never drop exclusivity (same file the C++ backend locks).
@@ -249,10 +269,26 @@ class Env:
         return RoTxn(self._gen)
 
     def write_txn(self) -> RwTxn:
+        if self.readonly:
+            raise StoreError(f"store at {self.path} is open read-only")
         self._write_lock.acquire()
         txn = RwTxn(self, self._gen)
         self._writer = txn
         return txn
+
+    def refresh(self) -> bool:
+        """Read-only envs: re-replay the log to adopt commits made by the
+        owning writer process since open (the MVCC 'begin a new RoTxn'
+        analogue). Returns True if the snapshot advanced."""
+        if not self.readonly:
+            return False
+        old_gen = self._gen
+        new_gen = self._replay()
+        changed = new_gen.tables != old_gen.tables
+        if changed:
+            new_gen.gen_id = old_gen.gen_id + 1
+            self._gen = new_gen
+        return changed
 
     def create_database(self, txn: RoTxn | None, name: Optional[str]) -> Database:
         return Database(self, name or "__main__")
@@ -370,8 +406,10 @@ class Env:
                         self._live_bytes -= len(k) + len(old) + 16
             valid_end = end
             pos = end
-        if valid_end < len(data):
-            # truncate a torn tail so future appends start clean
+        if valid_end < len(data) and not self.readonly:
+            # truncate a torn tail so future appends start clean. A
+            # read-only open must NOT touch the file: the "torn tail" may
+            # be the owning writer's in-flight append.
             with open(self._log_path, "r+b") as f:
                 f.truncate(valid_end)
         return _Generation(tables, 0)
@@ -406,10 +444,12 @@ class Env:
 
     def close(self) -> None:
         try:
-            self._log.close()
+            if self._log is not None:
+                self._log.close()
         except Exception:
             pass
         try:
-            self._lock_file.close()
+            if self._lock_file is not None:
+                self._lock_file.close()
         except Exception:
             pass

@@ -367,13 +367,25 @@ class NativeEnv:
             self._ptr = None
 
 
-def open_env(path, map_size: int = 1024 * 1024 * 1024, backend: Optional[str] = None):
+def open_env(
+    path,
+    map_size: int = 1024 * 1024 * 1024,
+    backend: Optional[str] = None,
+    readonly: bool = False,
+):
     """Open a store environment; native C++ when available, else Python.
 
     ``backend``: None/auto | "native" | "python" (or HANNOY_TPU_STORE env).
+    ``readonly``: lock-free cross-process snapshot open (LMDB's concurrent
+    readers, reference README.md:13). Always served by the Python replay —
+    the backends share the on-disk format, so a read-only snapshot of a
+    natively-written store is exact; the native writer keeps its exclusive
+    flock untouched.
     """
     from .env import Env as PyEnv
 
+    if readonly:
+        return PyEnv(path, map_size, readonly=True)
     backend = backend or os.environ.get("HANNOY_TPU_STORE", "auto")
     if backend == "python":
         return PyEnv(path, map_size)

@@ -15,7 +15,7 @@ CHUNKS=(
   "tests/test_builder.py tests/test_codecs.py tests/test_distances.py"
   "tests/test_bulk.py"
   "tests/test_fuzz.py tests/test_pallas.py tests/test_schema.py"
-  "tests/test_sharded.py tests/test_store.py"
+  "tests/test_sharded.py tests/test_snapshots.py tests/test_spmd_build.py tests/test_store.py"
 )
 # fail loudly if a new tests/test_*.py is not covered by any chunk
 listed=$(echo "${CHUNKS[@]}" | tr ' ' '\n' | sort)

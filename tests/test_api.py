@@ -641,3 +641,66 @@ def test_filtered_search_cancellation_mid_flight(db, rng):
     full = reader.nns(10).ef_search(128).candidates(cands).by_vector(data[2])
     assert not full.did_cancel
     assert full.nns[0][0] == 2
+
+
+def test_readonly_database_cross_process(tmp_path, rng):
+    """Read-only snapshot open coexisting with a live writer — the LMDB
+    concurrent-reader capability (reference README.md:13, exercised by its
+    tests/test_basic.py:37-54). The appendix log makes this lock-free:
+    complete batches are immutable, so a reader replays a consistent
+    prefix while the writer's exclusive flock stays untouched."""
+    import subprocess
+    import sys
+
+    n, d = 300, 8
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    path = str(tmp_path / "ro")
+    db = Database(path, Metric.EUCLIDEAN)
+    with db.writer(d, m=8, ef=32) as w:
+        w.add_items(range(n), data)
+
+    # same-process read-only snapshot (distinct env, no lock conflict)
+    ro = Database(path, Metric.EUCLIDEAN, readonly=True)
+    r = ro.reader()
+    got = r.nns(3).by_vector(data[7]).into_nns()
+    assert got[0][0] == 7
+
+    # writes through the read-only handle are refused
+    from hannoy_tpu.errors import StoreError
+
+    w_ro = ro.writer(d)
+    with pytest.raises(StoreError):
+        w_ro.add_item(999, np.zeros(d, dtype=np.float32))
+
+    # a LIVE writer in this process (exclusive flock held) + a genuinely
+    # separate reader process opening the same store read-only
+    w2 = db.writer(d, m=8, ef=32)
+    w2.add_item(n, data[0])  # uncommitted — the snapshot must NOT see it
+    code = (
+        "import numpy as np\n"
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "from hannoy_tpu import Database, Metric\n"
+        f"db = Database({path!r}, Metric.EUCLIDEAN, readonly=True)\n"
+        "r = db.reader()\n"
+        f"assert r.n_items() == {n}, r.n_items()\n"
+        f"res = r.nns(3).by_vector(np.asarray({data[7].tolist()!r}, np.float32)).into_nns()\n"
+        "assert res[0][0] == 7, res\n"
+        "print('SUBPROCESS_OK')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=240,
+        env={**__import__('os').environ, "PYTHONPATH": "/root/repo"},
+    )
+    assert "SUBPROCESS_OK" in out.stdout, out.stderr[-2000:]
+
+    # refresh() adopts commits made after the snapshot
+    w2.builder().build()
+    db.commit_rw_txn()
+    assert ro.refresh()
+    r2 = ro.reader()
+    assert r2.n_items() == n + 1
+    db.close()
+    ro.close()
