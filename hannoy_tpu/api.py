@@ -49,6 +49,7 @@ from .models.flat import flat_topk
 from .models.hnsw import HostGraph
 from .ops import beam as _beam
 from .ops import codecs, distances
+from .store import schema
 from .store.native_env import open_env
 from .store.schema import (
     Key,
@@ -380,6 +381,20 @@ class Writer:
         staged = self._staging(wtxn)
         for key in [k for k in staged if k[0] == self._index]:
             staged.pop(key)
+        self._staging_cols(wtxn).pop(self._index, None)
+
+    @staticmethod
+    def _staging_cols(wtxn) -> dict:
+        """Columnar twin of ``_staging``: index → list of
+        (items u32 [n], packed rows [n, W], norms [n]) batches, appended
+        by ``add_items`` in txn order. ``_build`` stages a fresh 10M
+        build's vectors with one concatenate+gather instead of 10M dict
+        lookups; last write wins for re-added items, and deleted items are
+        never consulted (they are excluded from ``to_insert``)."""
+        cols = getattr(wtxn, "_staged_cols", None)
+        if cols is None:
+            cols = wtxn._staged_cols = {}
+        return cols
 
     def add_item(self, item: int, vector: Sequence[float]) -> None:
         """Store a vector + journal stone (writer.rs:462-480)."""
@@ -406,31 +421,57 @@ class Writer:
         self._staging(wtxn)[(self._index, int(item))] = (packed[0], float(norm))
 
     def add_items(self, items: Sequence[int], vectors: np.ndarray) -> None:
-        """Batched insert — the TPU-native bulk path."""
+        """Batched insert — the TPU-native bulk path.
+
+        Records are assembled with the vectorized schema codecs
+        (``keys_bytes``/``items_payload`` — byte-identical to the
+        per-record ``Key.to_bytes``/``encode_item``) and written through
+        one ``put_many_raw`` call per table, so a 10M-item staging pass
+        runs no per-item Python at all."""
         vectors = np.asarray(vectors, dtype=np.float32)
         if vectors.ndim != 2 or vectors.shape[1] != self._dimensions:
             raise InvalidVecDimension(self._dimensions, vectors.shape[-1])
+        items_arr = np.asarray(
+            items if isinstance(items, np.ndarray) else list(items)
+        )
+        if len(items_arr) and (
+            items_arr.min(initial=0) < 0 or items_arr.max(initial=0) >= 2**32
+        ):
+            bad = items_arr[(items_arr < 0) | (items_arr >= 2**32)][0]
+            raise InvalidItemAppend(int(bad))
+        items_arr = items_arr.astype(np.uint32)
         packed = codecs.pack(vectors, self._metric.codec)
         norms = distances.np_norms(self._metric, packed)
         wtxn = self._database._wtxn()
         db = self._database._db
         codec = self._metric.codec
         staged = self._staging(wtxn)
-        for i, item in enumerate(items):
-            if not (0 <= int(item) < 2**32):
-                raise InvalidItemAppend(item)
-            header = struct.pack("<f", float(norms[i]))
-            raw = packed[i].astype("<f4" if codec == codecs.F32 else "<u4").tobytes()
-            db.put(wtxn, Key.item(self._index, int(item)).to_bytes(), encode_item(header, raw))
-            db.put(
-                wtxn,
-                Key.updated(self._index, int(item)).to_bytes(),
-                encode_update_status(UpdateStatus.UPDATED),
-            )
-            # decoded-row fast path for the next build in this txn: a 1M
-            # fresh build otherwise re-reads every value through the store
-            # (1M per-item get round trips — VERDICT r2 weak-spot #4)
-            staged[(self._index, int(item))] = (packed[i], float(norms[i]))
+
+        n = len(items_arr)
+        headers = norms.astype("<f4").view(np.uint8).reshape(n, 4)
+        rows = np.ascontiguousarray(
+            packed.astype("<f4" if codec == codecs.F32 else "<u4")
+        ).view(np.uint8).reshape(n, -1)
+        vbuf, offs = schema.items_payload(headers, rows)
+        item_keys = schema.keys_bytes(self._index, NodeMode.ITEM, items_arr)
+        db.put_many_raw(wtxn, item_keys.tobytes(), vbuf, offs)
+
+        stone = encode_update_status(UpdateStatus.UPDATED)
+        stones = np.frombuffer(stone, dtype=np.uint8)
+        svbuf = np.broadcast_to(stones, (n, len(stone))).tobytes()
+        soffs = (np.arange(n + 1, dtype=np.uint64) * len(stone)).astype(np.uint64)
+        upd_keys = schema.keys_bytes(self._index, NodeMode.UPDATED, items_arr)
+        db.put_many_raw(wtxn, upd_keys.tobytes(), svbuf, soffs)
+
+        # decoded-row fast path for the next build in this txn: a 1M
+        # fresh build otherwise re-reads every value through the store
+        # (1M per-item get round trips — VERDICT r2 weak-spot #4)
+        idx = self._index
+        for i, item in enumerate(items_arr.tolist()):
+            staged[(idx, item)] = (packed[i], float(norms[i]))
+        self._staging_cols(wtxn).setdefault(idx, []).append(
+            (items_arr, packed, norms)
+        )
 
     def del_item(self, item: int) -> bool:
         """Delete + journal stone; True if it existed (writer.rs:483-495)."""
@@ -557,17 +598,33 @@ class Writer:
         wtxn = self._database._wtxn()
         db = self._database._db
 
-        # 1. journal scan + clear (writer.rs:645-688)
+        # 1. journal scan + clear (writer.rs:645-688). Stones are 1-byte
+        # fixed-width records, so on capable backends the whole journal is
+        # scanned into numpy (keys = u64 big-endian ints; the item id is
+        # bits 8..40 of the key, schema._KEY_FMT) and cleared with one
+        # batched tombstone call — a 10M-stone journal runs no per-record
+        # Python.
         opts.progress.update(BuildStep.RETRIEVE_THE_UPDATED_ITEMS)
-        updated, deleted = [], []
-        for key, val in list(db.prefix_iter(wtxn, Prefix.updated(self._index))):
-            k = Key.from_bytes(key)
-            updated.append(k.item)
-            if decode_update_status(val) == UpdateStatus.REMOVED:
-                deleted.append(k.item)
-            db.delete(wtxn, key)
-        updated_items = IdSet(np.asarray(updated, dtype=np.uint32))
-        deleted_items = IdSet(np.asarray(deleted, dtype=np.uint32))
+        scan_fixed = getattr(db, "scan_fixed", None)
+        if scan_fixed is not None and hasattr(db, "delete_many"):
+            keys_u64, stone_rows = scan_fixed(wtxn, Prefix.updated(self._index), 1)
+            items_u = ((keys_u64 >> np.uint64(8)) & np.uint64(0xFFFFFFFF)).astype(
+                np.uint32
+            )
+            removed = stone_rows[:, 0] == int(UpdateStatus.REMOVED)
+            db.delete_many(wtxn, keys_u64)
+            updated_items = IdSet(items_u)
+            deleted_items = IdSet(items_u[removed])
+        else:
+            updated, deleted = [], []
+            for key, val in list(db.prefix_iter(wtxn, Prefix.updated(self._index))):
+                k = Key.from_bytes(key)
+                updated.append(k.item)
+                if decode_update_status(val) == UpdateStatus.REMOVED:
+                    deleted.append(k.item)
+                db.delete(wtxn, key)
+            updated_items = IdSet(np.asarray(updated, dtype=np.uint32))
+            deleted_items = IdSet(np.asarray(deleted, dtype=np.uint32))
 
         # 2. set algebra (writer.rs:539-554)
         md_bytes = db.get(wtxn, Key.metadata(self._index).to_bytes())
@@ -582,18 +639,52 @@ class Writer:
         # earlier txn fall back to db.get (VERDICT r2 weak-spot #4: a 1M
         # fresh build used to issue 1M get round trips here)
         g = self._load_or_cached_graph(wtxn, metadata)
-        insert_slots = np.empty(len(to_insert), dtype=np.int64)
         g.grow(_hnsw.slot_capacity(len(item_indices)))
         staged = self._staging(wtxn)
-        for i, item in enumerate(to_insert):
-            s = g.alloc_slot(int(item))
-            insert_slots[i] = s
-            row = staged.get((self._index, int(item)))
+        to_ins_arr = to_insert.to_array()  # sorted u32 — IdSet iteration order
+        n_ins = len(to_ins_arr)
+
+        # slot allocation: one arange for the fresh-graph case (10M calls
+        # of alloc_slot are pure Python), per-item otherwise (free-list /
+        # existing-id reuse)
+        if not g.id_to_slot and not g.free_slots and g.next_fresh == 0:
+            insert_slots = np.arange(n_ins, dtype=np.int64)
+            g.ids[insert_slots] = to_ins_arr
+            g.id_to_slot = {int(i): s for s, i in enumerate(to_ins_arr.tolist())}
+            g.next_fresh = n_ins
+        else:
+            insert_slots = np.empty(n_ins, dtype=np.int64)
+            for i, item in enumerate(to_ins_arr.tolist()):
+                insert_slots[i] = g.alloc_slot(int(item))
+
+        # vectors: one gather from the columnar staging for everything
+        # added in this txn; per-item fallback (dict staging, then store
+        # read) only for items journaled by an earlier txn
+        filled = np.zeros(n_ins, dtype=bool)
+        cols = self._staging_cols(wtxn).get(self._index)
+        if cols and n_ins and sum(len(c[0]) for c in cols):
+            items_c = np.concatenate([c[0] for c in cols])
+            rows_c = np.concatenate([c[1] for c in cols], axis=0)
+            norms_c = np.concatenate([c[2] for c in cols])
+            rev = items_c[::-1]
+            uniq, first_rev = np.unique(rev, return_index=True)
+            src = len(items_c) - 1 - first_rev  # last write wins
+            pos = np.minimum(np.searchsorted(uniq, to_ins_arr), len(uniq) - 1)
+            hit = uniq[pos] == to_ins_arr
+            take = src[pos[hit]]
+            hs = insert_slots[hit]
+            g.vectors[hs] = rows_c[take]
+            g.norms[hs] = norms_c[take]
+            filled[hit] = True
+        for i in np.nonzero(~filled)[0].tolist():
+            item = int(to_ins_arr[i])
+            s = int(insert_slots[i])
+            row = staged.get((self._index, item))
             if row is not None:
                 g.vectors[s] = row[0]
                 g.norms[s] = row[1]
                 continue
-            val = db.get(wtxn, Key.item(self._index, int(item)).to_bytes())
+            val = db.get(wtxn, Key.item(self._index, item).to_bytes())
             header, vecb = decode_item(val)
             g.vectors[s] = codecs.vector_from_bytes(vecb, self._metric.codec)
             g.norms[s] = struct.unpack("<f", header)[0]

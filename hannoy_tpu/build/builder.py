@@ -50,6 +50,30 @@ _WAVE_BUCKETS = (16, 128, 1024, 4096)
 _CHAIN_MIN_PREV = 1024
 
 
+def _ramp_width(W: int, n_active: int, divisor: int = 4) -> int:
+    """Wave-size ramp, snapped to the compile-bounded buckets.
+
+    A beam-based wave is blind to its own members (they link only to
+    already-active nodes), so beam waves are capped at 1/``divisor`` of
+    the active graph — the reference's racy threads see ~all prior
+    inserts (hnsw.rs:172-185); this bounds our divergence. While the
+    active graph is inside the flat bootstrap, candidates come from
+    exact brute force (``_insert_wave`` use_flat), where width costs no
+    quality — so the ramp there is ~the active count itself (doubling),
+    not a fraction of it: a fresh hierarchy reaches 1024 actives in 7
+    dispatches, not 25.
+    """
+    if n_active <= FLAT_BOOTSTRAP:
+        w_i = min(W, max(16, n_active))
+    else:
+        w_i = min(W, max(16, n_active // divisor))
+    w_pad = 16
+    for b in _WAVE_BUCKETS:
+        if b <= w_i:
+            w_pad = b
+    return min(w_pad, W)
+
+
 def _never_cancel() -> bool:
     """Default cancel sentinel. Builds carrying it run each wave's beam
     as one fused device program (fastest); any other closure switches the
@@ -138,8 +162,23 @@ class BuildOptions:
     #: keeps the uncovered ones; 0 disables)
     bulk_rand: int = 8
     #: renumber slots into cluster-locality order at build end (in-process
-    #: readers gather neighbor rows that are HBM-adjacent)
-    bulk_renumber: bool = True
+    #: readers gather neighbor rows that are HBM-adjacent). Default OFF:
+    #: measured on v5e (100k×768, same process) the QPS delta is within
+    #: chip noise (ef=100/200 identical, ef=50 +12% once, irreproducible)
+    #: — XLA's row gather cost is row-count-bound, not locality-bound
+    #: (BENCH_NOTES round 2) — while the renumber costs ~0.5-2s host +
+    #: device time per build. The machinery stays for locally-attached
+    #: deployments to re-measure.
+    bulk_renumber: bool = False
+    #: wave-ramp divisor for the routing-layer waves of a bulk build
+    #: (1 = each wave as wide as the active graph; layer-0/non-bulk waves
+    #: always use 4)
+    upper_ramp_divisor: int = 1
+    #: highest layer built by the bulk path (None = 0: only layer 0 —
+    #: measured on 100k×768 clustered cosine: bulk-kNN level 1 costs ~5
+    #: recall points at ef=50 for no steady-time win; the knob exists
+    #: for re-measuring if bulk candidate quality improves)
+    bulk_upper: Optional[int] = None
 
 
 def prepare_entry_points(
@@ -157,6 +196,19 @@ def prepare_entry_points(
     old_eps = list(dict.fromkeys(g.entry_slots))
     new_eps = [e for e in old_eps if e not in deleted_slots]
     del_eps = [e for e in old_eps if e in deleted_slots]
+
+    if not old_eps and not deleted_slots:
+        # fresh-build fast path — vectorized twin of the general case
+        # below (no old entry points to replace or re-schedule): sort by
+        # descending level, stable, exactly like sorted(key=-level) over
+        # an insertion-ordered dict; top-level items become entry points.
+        order = np.argsort(-insert_levels, kind="stable")
+        slots = insert_slots[order].astype(np.int64)
+        lvls = insert_levels[order].astype(np.int32)
+        cur_max = int(lvls[0]) if len(lvls) else 0
+        g.max_level = max(g.max_level, cur_max)
+        g.entry_slots = [int(s) for s in slots[lvls == g.max_level]]
+        return slots, lvls
 
     # Replace deleted entry points with surviving nodes from top layers
     # (hnsw.rs:242-257: scan layer links top-down for a non-deleted node).
@@ -238,8 +290,8 @@ def plan_build(
 
     # Allocate upper-layer rows up front (device tables are static per build)
     g.ensure_layers(g.max_level)
-    for s, lv in zip(slots, lvls):
-        g.levels[s] = max(g.levels[s], lv)
+    g.levels[slots] = np.maximum(g.levels[slots], lvls.astype(g.levels.dtype))
+    for s, lv in zip(slots[lvls >= 1], lvls[lvls >= 1]):
         for level in range(1, lv + 1):
             g.upper_row(level, int(s))
 
@@ -299,16 +351,26 @@ def build_graph(
     use_bulk = bulk.eligible(g.metric, n_active, len(deleted_set), len(slots), opts)
     order0 = None
     if use_bulk:
-        # Bulk builds only layer 0; the upper layers go through the
-        # reference-shaped insertion waves below (stop_level=1 skips
-        # their layer-0 legs). Measured necessity (30k×64 clustered
-        # cosine): with kNN-built upper layers the greedy ef=1 descent
-        # mis-routes ~3% of queries into the wrong basin and recall@10
-        # plateaus at 0.97 at every ef; seeding the layer-0 beam with an
-        # oracle L1 nearest recovers 0.997 — so the hierarchy must be
-        # navigation-grade, which the insertion path provides and the
-        # upper layers are small enough (1/M of items) to afford.
-        upper = lvls >= 1
+        # Bulk builds layers bulk_top..0; layers above go through the
+        # reference-shaped insertion waves below (stop_level skips the
+        # bulk-built legs). The topmost layers must be navigation-grade
+        # for the greedy ef=1 descent — measured (30k×64 clustered
+        # cosine): an all-kNN hierarchy mis-routes ~3% of queries into
+        # the wrong basin and recall@10 plateaus at 0.97 at every ef.
+        # Wave-inserting the top layers is nearly free (they hold
+        # N/M^bulk_top items), while mid layers (level 1 ~ N/M members)
+        # would burn ~50 narrow wave dispatches — those go bulk, with
+        # exact-kNN candidates below BRUTE_MAX members plus NSW long
+        # edges for navigability (bulk.py measured recall parity).
+        if opts.bulk_upper is not None:
+            bulk_top = min(opts.bulk_upper, int(lvls.max(initial=0)))
+        else:
+            # measured (100k×768 clustered cosine, efc=48): bulk-kNN
+            # level 1 costs ~5 recall points at ef=50 (0.828 vs 0.909)
+            # for no steady-time win once the flat-bootstrap ramp widened
+            # — the descent really does need insertion-shaped mid layers
+            bulk_top = 0
+        upper = lvls > bulk_top
         n_up_active = 0
         for lv in sorted({int(x) for x in lvls[upper]}, reverse=True):
             grp = slots[lvls == lv]
@@ -316,12 +378,12 @@ def build_graph(
             while start < len(grp):
                 if opts.cancel():
                     raise BuildCancelled()
-                w_i = min(opts.wave_size, max(16, n_up_active // 4))
-                w_pad = 16
-                for b in _WAVE_BUCKETS:
-                    if b <= w_i:
-                        w_pad = b
-                w_pad = min(w_pad, opts.wave_size)
+                # routing layers tolerate a full-width ramp (divisor 1):
+                # their rows only steer the descent, and 1/4-ramp waves
+                # burn ~40 narrow dispatches between 1k and N/M actives
+                w_pad = _ramp_width(
+                    opts.wave_size, n_up_active, divisor=opts.upper_ramp_divisor
+                )
                 chunk = grp[start : start + w_pad]
                 start += len(chunk)
                 wave = np.full(w_pad, -1, dtype=np.int32)
@@ -329,7 +391,8 @@ def build_graph(
                 with span("bulk_upper_wave", level=lv, width=w_pad):
                     dev, dirty, counters = _insert_wave(
                         dev, wave, lv, opts, n_up_active, node_ok, dirty,
-                        counters, g.m0, n_real=len(chunk), stop_level=1,
+                        counters, g.m0, n_real=len(chunk),
+                        stop_level=bulk_top + 1,
                     )
                 dev = wave_ops.activate_wave(dev, jnp.asarray(wave))
                 n_up_active += len(chunk)
@@ -337,10 +400,17 @@ def build_graph(
         # bulk layer 0 runs no beams; valid only feeds _ensure_inbound's
         # row reads, so all members go live at once
         dev = wave_ops._replace(dev, valid=node_ok)
+        # fence: waves dispatch async — drain them here so the bulk spans
+        # below attribute time to their own device work, not queued waves
+        with span("upper_waves_drain"):
+            jax.block_until_ready(dev.links0)
         with span("bulk_build", inserts=len(slots), max_level=g.max_level):
             dev, dirty, counters, order0 = bulk.bulk_build(
-                g, dev, slots, lvls, opts, dirty, counters
+                g, dev, slots, lvls, opts, dirty, counters, top_level=bulk_top,
+                cancel=opts.cancel if opts.cancel is not _never_cancel else None,
             )
+        with span("bulk_drain"):
+            jax.block_until_ready(dev.links0)
         stats.waves += 1
         opts.progress.update(InsertItemsStep(total, total))
 
@@ -355,17 +425,7 @@ def build_graph(
         while start < len(grp):
             if opts.cancel():
                 raise BuildCancelled()
-            # Wave-size ramp: a wave is blind to its own members (they link
-            # only to already-active nodes), so cap each wave at 1/4 of the
-            # active graph — the reference's racy threads see ~all prior
-            # inserts; this bounds our divergence. Snap to a tiny bucket set
-            # so the jitted step compiles O(1) times.
-            w_i = min(W, max(16, n_active // 4))
-            w_pad = 16
-            for b in _WAVE_BUCKETS:
-                if b <= w_i:
-                    w_pad = b
-            w_pad = min(w_pad, W)
+            w_pad = _ramp_width(W, n_active)
             chunk = grp[start : start + w_pad]
             start += len(chunk)
             wave = np.full(w_pad, -1, dtype=np.int32)
@@ -424,9 +484,35 @@ def build_graph(
             dev, jnp.asarray(np.fromiter(deleted_set, dtype=np.int32))
         )
 
+    # ---- cluster-locality renumbering (bulk builds) ----
+    # Neighboring graph rows become HBM-adjacent, so in-process readers'
+    # beam gathers touch clustered address ranges. The link tables are
+    # permuted on device at HBM stream bandwidth (hnsw.permute_device)
+    # before the sync below pulls them back; the host permutes only its
+    # host-exclusive arrays. The store is id-keyed and persisted links
+    # hold item ids, so renumbering never changes persisted bytes.
+    if use_bulk and opts.bulk_renumber and order0 is not None:
+        with span("bulk_renumber"):
+            # bulk.eligible admits fresh builds only, so there is no
+            # deleted_set to remap through the permutation
+            members = slots[lvls >= 0]
+            front = members[order0]
+            perm = np.empty(g.capacity, dtype=np.int64)
+            perm[: len(front)] = front
+            rest = np.ones(g.capacity, dtype=bool)
+            rest[front] = False
+            perm[len(front):] = np.nonzero(rest)[0]
+            inv = np.empty_like(perm)
+            inv[perm] = np.arange(g.capacity, dtype=np.int64)
+            perm_j = jnp.asarray(perm.astype(np.int32))
+            dev = hnsw.permute_device(dev, perm_j, jnp.asarray(inv.astype(np.int32)))
+            dirty = dirty[perm_j]
+            g.permute_host_only(perm, inv)
+
     # ---- sync back to host ----
-    hnsw.from_device(g, dev)
-    dirty_np, counters_np = jax.device_get((dirty, counters))
+    with span("sync_to_host"):
+        hnsw.from_device(g, dev)
+        dirty_np, counters_np = jax.device_get((dirty, counters))
     touched_host.update(np.nonzero(dirty_np)[0].tolist())
     touched_host -= deleted_set
     stats.links_added += int(
@@ -437,22 +523,6 @@ def build_graph(
         int(counters_np[wave_ops.CNT_ROW_GATHERS]) * wave_ops.GATHER_GRANULE
     )
     stats.touched = np.asarray(sorted(touched_host), dtype=np.int64)
-
-    # ---- cluster-locality renumbering (bulk builds) ----
-    # Neighboring graph rows become HBM-adjacent, so in-process readers'
-    # beam gathers touch clustered address ranges. Purely in-memory — the
-    # store is id-keyed (see HostGraph.permute).
-    if use_bulk and opts.bulk_renumber and order0 is not None:
-        with span("bulk_renumber"):
-            members = slots[lvls >= 0]
-            front = members[order0]
-            perm = np.empty(g.capacity, dtype=np.int64)
-            perm[: len(front)] = front
-            rest = np.ones(g.capacity, dtype=bool)
-            rest[front] = False
-            perm[len(front):] = np.nonzero(rest)[0]
-            g.permute(perm)
-            stats.touched = np.nonzero(g.levels >= 0)[0].astype(np.int64)
     return stats
 
 

@@ -165,8 +165,11 @@ def kmeans_partition(
     n_clusters: int,
     iters: int,
     rng: np.random.Generator,
+    cancel=None,
 ) -> np.ndarray:
     """Cluster member vectors on device → assignment [n] (host int32)."""
+    from ..errors import BuildCancelled
+
     n = len(member_slots)
     slots_pad = jnp.asarray(
         _pad_to(member_slots.astype(np.int32), KMEANS_CHUNK, -1)
@@ -176,6 +179,8 @@ def kmeans_partition(
     centroids = dev.vectors[jnp.asarray(init.astype(np.int32))]
     assign = None
     for _ in range(max(1, iters)):
+        if cancel is not None and cancel():
+            raise BuildCancelled()
         centroids, assign = _kmeans_step(
             dev.vectors, dev.norms, slots_pad, centroids,
             metric_name=dev.metric_name, n_steps=n_steps, chunk=KMEANS_CHUNK,
@@ -385,6 +390,7 @@ def layer_candidates(
     K: int,
     opts,
     rng: np.random.Generator,
+    cancel=None,
 ):
     """Candidate lists for one layer's members → (ids [n_pad, K],
     dists [n_pad, K], locality_order or None, cross_edges or None),
@@ -405,7 +411,9 @@ def layer_candidates(
 
     C = max(8, n // opts.bulk_cluster_size)
     with span("bulk_kmeans", n=n, clusters=C):
-        assign = kmeans_partition(dev, member_slots, C, opts.bulk_kmeans_iters, rng)
+        assign = kmeans_partition(
+            dev, member_slots, C, opts.bulk_kmeans_iters, rng, cancel=cancel
+        )
     s_cap = int(np.ceil(1.3 * n / C))
     tab_pos, parent, order = _pseudo_cluster_tables(assign, C, s_cap)
     Cp = tab_pos.shape[0]
@@ -490,15 +498,14 @@ def _segment_centroids(dev, member_slots, assign, n_clusters):
 @partial(
     jax.jit,
     static_argnames=("is_level0", "cap", "alpha", "K", "n_steps", "chunk"),
-    donate_argnames=("g", "dirty", "counters"),
+    donate_argnames=("g", "counters"),
 )
-def _bulk_connect_jit(
+def _connect_pass1_jit(
     g: DeviceGraph,
     member_slots,  # [n_pad] (-1 padded to chunk multiple)
     cand_ids,  # [n_pad(+1), K] position-aligned
     cand_d,
     level,  # traced scalar (read when not is_level0)
-    dirty,
     counters,
     is_level0: bool,
     cap: int,
@@ -507,23 +514,22 @@ def _bulk_connect_jit(
     n_steps: int,
     chunk: int,
 ):
-    """Connect one layer from candidate lists, in three chunked passes.
-
-    1. α-prune every row's candidates → scatter forward rows. Forward
-       writes are disjoint, so pass 1 has no ordering effects.
-    2. Snapshot the forward tables, then merge reverse edges chunk by
-       chunk with the shared sorted-COO pass. Edges are read from the
-       *snapshot* so a row that already absorbed reverse edges does not
-       re-emit them as its own selections (wave parity: a wave's reverse
-       contributions come only from its α-pruned forward picks).
-    3. Stranded-row repair (layer 0): the same bounded min-in-degree
-       guarantee the wave path applies (``_ensure_inbound``).
-    """
+    """α-prune every row's candidates → scatter forward rows, and return
+    the pruned selections as position-aligned [n_pad, cap] tables.
+    Forward writes are disjoint, so this pass has no ordering effects.
+    The returned tables feed passes 2/3 explicitly: a row that later
+    absorbs reverse edges must not re-emit them as its own selections
+    (wave parity: a wave's reverse contributions come only from its
+    α-pruned forward picks), and an explicit table keeps that invariant
+    even when the host chunks the passes for cancellation probing."""
     metric = g.metric
     lvl = 0 if is_level0 else level
+    n_pad = member_slots.shape[0]
+    fwd_ids = jnp.full((n_pad, cap), NO_ID, dtype=jnp.int32)
+    fwd_d = jnp.full((n_pad, cap), INF)
 
     def pass1(i, carry):
-        links0, dists0, ul, ud, counters = carry
+        links0, dists0, ul, ud, fwd_ids, fwd_d, counters = carry
         gc = wave_ops._replace(g, links0=links0, dists0=dists0, upper_links=ul, upper_dists=ud)
         p0 = i * chunk
         sl = jax.lax.dynamic_slice(member_slots, (p0,), (chunk,))
@@ -534,27 +540,53 @@ def _bulk_connect_jit(
         cd = jnp.where(ok[:, None], cd, INF)
         sel_ids, sel_d = prune.robust_prune(metric, g.vectors, g.norms, cid, cd, cap, alpha)
         gc = wave_ops._set_level_rows(gc, lvl, jnp.where(ok, sl, NO_ID), sel_ids, sel_d)
+        fwd_ids = jax.lax.dynamic_update_slice(fwd_ids, sel_ids, (p0, 0))
+        fwd_d = jax.lax.dynamic_update_slice(fwd_d, sel_d, (p0, 0))
         counters = counters.at[wave_ops.CNT_FWD_LINKS].add(
             jnp.sum(sel_ids != NO_ID, dtype=jnp.int32)
         )
-        return gc.links0, gc.dists0, gc.upper_links, gc.upper_dists, counters
+        return gc.links0, gc.dists0, gc.upper_links, gc.upper_dists, fwd_ids, fwd_d, counters
 
-    links0, dists0, ul, ud, counters = jax.lax.fori_loop(
-        0, n_steps, pass1, (g.links0, g.dists0, g.upper_links, g.upper_dists, counters)
+    links0, dists0, ul, ud, fwd_ids, fwd_d, counters = jax.lax.fori_loop(
+        0, n_steps, pass1,
+        (g.links0, g.dists0, g.upper_links, g.upper_dists, fwd_ids, fwd_d, counters),
     )
     g = wave_ops._replace(g, links0=links0, dists0=dists0, upper_links=ul, upper_dists=ud)
-    snap = g  # forward-row snapshot (arrays are immutable values here)
+    return g, fwd_ids, fwd_d, counters
+
+
+@partial(
+    jax.jit,
+    static_argnames=("is_level0", "cap", "alpha", "n_steps", "chunk"),
+    donate_argnames=("g", "dirty", "counters"),
+)
+def _connect_pass2_jit(
+    g: DeviceGraph,
+    member_slots,
+    fwd_ids,  # [n_pad, cap] pass-1 selections, position-aligned
+    fwd_d,
+    level,
+    dirty,
+    counters,
+    is_level0: bool,
+    cap: int,
+    alpha: float,
+    n_steps: int,
+    chunk: int,
+):
+    """Merge reverse edges chunk by chunk with the shared sorted-COO pass
+    (add_link semantics, hnsw.rs:523-560)."""
+    lvl = 0 if is_level0 else level
 
     def pass2(i, carry):
         links0, dists0, ul, ud, dirty, counters = carry
         gc = wave_ops._replace(g, links0=links0, dists0=dists0, upper_links=ul, upper_dists=ud)
         p0 = i * chunk
         sl = jax.lax.dynamic_slice(member_slots, (p0,), (chunk,))
-        fwd_ids, fwd_d = wave_ops._level_rows(snap, lvl, sl)
-        fwd_ids = fwd_ids[:, :cap]
-        fwd_d = fwd_d[:, :cap]
+        fi = jax.lax.dynamic_slice(fwd_ids, (p0, 0), (chunk, cap))
+        fd = jax.lax.dynamic_slice(fwd_d, (p0, 0), (chunk, cap))
         gc, counters, u_dst = wave_ops.reverse_merge_edges(
-            gc, lvl, sl, fwd_ids, fwd_d, counters, cap, alpha
+            gc, lvl, sl, fi, fd, counters, cap, alpha
         )
         dirty = dirty.at[jnp.where(u_dst != NO_ID, u_dst, gc.capacity)].set(
             True, mode="drop"
@@ -565,29 +597,147 @@ def _bulk_connect_jit(
         0, n_steps, pass2, (g.links0, g.dists0, g.upper_links, g.upper_dists, dirty, counters)
     )
     g = wave_ops._replace(g, links0=links0, dists0=dists0, upper_links=ul, upper_dists=ud)
-
-    if is_level0:
-
-        def pass3(i, carry):
-            links0, dists0, dirty, counters = carry
-            gc = wave_ops._replace(g, links0=links0, dists0=dists0)
-            p0 = i * chunk
-            sl = jax.lax.dynamic_slice(member_slots, (p0,), (chunk,))
-            fwd_ids, fwd_d = wave_ops._level_rows(snap, 0, sl)
-            gc, dirty, counters = wave_ops._ensure_inbound(
-                gc, sl, fwd_ids[:, :cap], fwd_d[:, :cap], dirty, counters
-            )
-            return gc.links0, gc.dists0, dirty, counters
-
-        links0, dists0, dirty, counters = jax.lax.fori_loop(
-            0, n_steps, pass3, (g.links0, g.dists0, dirty, counters)
-        )
-        g = wave_ops._replace(g, links0=links0, dists0=dists0)
-
     dirty = dirty.at[jnp.where(member_slots >= 0, member_slots, g.capacity)].set(
         True, mode="drop"
     )
     return g, dirty, counters
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cap", "n_steps", "chunk"),
+    donate_argnames=("g", "dirty", "counters"),
+)
+def _connect_pass3_jit(
+    g: DeviceGraph,
+    member_slots,
+    fwd_ids,
+    fwd_d,
+    dirty,
+    counters,
+    cap: int,
+    n_steps: int,
+    chunk: int,
+):
+    """Stranded-row repair (layer 0 only): the same bounded min-in-degree
+    guarantee the wave path applies (``wave_ops._ensure_inbound``)."""
+
+    def pass3(i, carry):
+        links0, dists0, dirty, counters = carry
+        gc = wave_ops._replace(g, links0=links0, dists0=dists0)
+        p0 = i * chunk
+        sl = jax.lax.dynamic_slice(member_slots, (p0,), (chunk,))
+        fi = jax.lax.dynamic_slice(fwd_ids, (p0, 0), (chunk, cap))
+        fd = jax.lax.dynamic_slice(fwd_d, (p0, 0), (chunk, cap))
+        gc, dirty, counters = wave_ops._ensure_inbound(
+            gc, sl, fi, fd, dirty, counters
+        )
+        return gc.links0, gc.dists0, dirty, counters
+
+    links0, dists0, dirty, counters = jax.lax.fori_loop(
+        0, n_steps, pass3, (g.links0, g.dists0, dirty, counters)
+    )
+    return wave_ops._replace(g, links0=links0, dists0=dists0), dirty, counters
+
+
+#: host-probed steps per device dispatch when the build is cancellable
+CANCEL_CONNECT_STEPS = 8
+
+
+def _bulk_connect(
+    dev: DeviceGraph,
+    slots_pad,  # np [n_pad] (-1 padded to chunk multiple)
+    cand_ids,
+    cand_d,
+    level: int,
+    dirty,
+    counters,
+    cap: int,
+    alpha: float,
+    K: int,
+    chunk: int,
+    cancel=None,
+):
+    """Drive the three connect passes. When ``cancel`` is set the passes
+    run in ``CANCEL_CONNECT_STEPS``-step device dispatches with a host
+    probe between each (the reference probes its insert loop every
+    CANCELLATION_PROBING=10000 ops, hnsw.rs:174-177); pass boundaries
+    keep wave parity regardless of chunking because pass 2/3 read the
+    pass-1 selections from explicit tables."""
+    from ..errors import BuildCancelled
+
+    n_pad = slots_pad.shape[0]
+    n_steps = n_pad // chunk
+    is_level0 = level == 0
+    member_j = jnp.asarray(slots_pad)
+    lvl_j = jnp.int32(level)
+
+    if cancel is None:
+        dev, fwd_ids, fwd_d, counters = _connect_pass1_jit(
+            dev, member_j, cand_ids, cand_d, lvl_j, counters,
+            is_level0=is_level0, cap=cap, alpha=alpha, K=K,
+            n_steps=n_steps, chunk=chunk,
+        )
+        dev, dirty, counters = _connect_pass2_jit(
+            dev, member_j, fwd_ids, fwd_d, lvl_j, dirty, counters,
+            is_level0=is_level0, cap=cap, alpha=alpha,
+            n_steps=n_steps, chunk=chunk,
+        )
+        if is_level0:
+            dev, dirty, counters = _connect_pass3_jit(
+                dev, member_j, fwd_ids, fwd_d, dirty, counters,
+                cap=cap, n_steps=n_steps, chunk=chunk,
+            )
+        return dev, dirty, counters
+
+    # cancellable: slice the member range into fixed-shape groups so the
+    # jitted passes compile once (the tail group is padded with -1
+    # members, which every pass already masks out)
+    group = min(CANCEL_CONNECT_STEPS, n_steps)
+    n_groups = (n_steps + group - 1) // group
+    gw = group * chunk
+    tot = n_groups * gw
+    if cand_ids.shape[0] < tot:
+        extra = tot - int(cand_ids.shape[0])
+        cand_ids = jnp.concatenate(
+            [cand_ids, jnp.full((extra, K), NO_ID, dtype=jnp.int32)]
+        )
+        cand_d = jnp.concatenate([cand_d, jnp.full((extra, K), INF)])
+
+    fwd_all = []
+    for i in range(n_groups):
+        if cancel():
+            raise BuildCancelled()
+        p0 = i * gw
+        sl = np.full(gw, -1, dtype=np.int32)
+        end = min(n_pad, p0 + gw)
+        sl[: end - p0] = slots_pad[p0:end]
+        sl_j = jnp.asarray(sl)
+        ci = jax.lax.dynamic_slice(cand_ids, (p0, 0), (gw, K))
+        cd = jax.lax.dynamic_slice(cand_d, (p0, 0), (gw, K))
+        dev, fi, fd, counters = _connect_pass1_jit(
+            dev, sl_j, ci, cd, lvl_j, counters,
+            is_level0=is_level0, cap=cap, alpha=alpha, K=K,
+            n_steps=group, chunk=chunk,
+        )
+        fwd_all.append((sl_j, fi, fd))
+    for sl_j, fi, fd in fwd_all:
+        if cancel():
+            raise BuildCancelled()
+        dev, dirty, counters = _connect_pass2_jit(
+            dev, sl_j, fi, fd, lvl_j, dirty, counters,
+            is_level0=is_level0, cap=cap, alpha=alpha,
+            n_steps=group, chunk=chunk,
+        )
+    if is_level0:
+        for sl_j, fi, fd in fwd_all:
+            if cancel():
+                raise BuildCancelled()
+            dev, dirty, counters = _connect_pass3_jit(
+                dev, sl_j, fi, fd, dirty, counters,
+                cap=cap, n_steps=group, chunk=chunk,
+            )
+    return dev, dirty, counters
 
 
 @partial(
@@ -694,14 +844,21 @@ def bulk_build(
     opts,
     dirty: jax.Array,
     counters: jax.Array,
+    top_level: int = 0,
+    cancel=None,
 ) -> tuple[DeviceGraph, jax.Array, jax.Array, Optional[np.ndarray]]:
-    """Build layer 0 of a fresh index from candidate lists.
+    """Build layers ``top_level..0`` of a fresh index from candidate lists.
 
-    Layer 0 only: the upper (routing) layers are built by the insertion
-    waves in ``builder.build_graph`` *before* this runs — a pure-kNN
-    hierarchy cannot support the greedy ef=1 descent (measured: ~3% of
-    queries basin-trapped, recall plateau at every ef), and upper layers
-    are 1/M of the items so the wave cost is marginal.
+    Levels above ``top_level`` are built by the insertion waves in
+    ``builder.build_graph`` *before* this runs — the topmost (tiny)
+    routing layers come out best insertion-shaped, and they cost almost
+    nothing there. Mid layers (level 1 at 100k has ~N/M members) are
+    where narrow waves burn dispatch round trips, and their members are
+    few enough for exact brute-force kNN candidates (``BRUTE_MAX``), so
+    the same candidates→α-prune→reverse-merge recipe builds them in a
+    handful of device programs. Forced cross-cluster boundary edges +
+    NSW random long-edge candidates keep every bulk layer navigable for
+    the greedy ef=1 descent (see _force_cross_links_jit).
 
     Returns (dev, dirty, counters, order) — ``order`` is the layer-0
     locality permutation (member positions sorted by cluster) for the
@@ -723,13 +880,19 @@ def bulk_build(
     else:
         alpha = opts.alpha
     order0: Optional[np.ndarray] = None
-    for level in (0,):
+    for level in range(top_level, -1, -1):
         members = slots[lvls >= level].astype(np.int64)
         if not len(members):
             continue
         cap = g_host.m0 if level == 0 else g_host.m
+        if cancel is not None and cancel():
+            from ..errors import BuildCancelled
+
+            raise BuildCancelled()
         with span("bulk_layer", level=level, members=len(members)):
-            cand_ids, cand_d, order, cross = layer_candidates(dev, members, K, opts, rng)
+            cand_ids, cand_d, order, cross = layer_candidates(
+                dev, members, K, opts, rng, cancel=cancel
+            )
             if level == 0:
                 order0 = order
             n = len(members)
@@ -754,7 +917,7 @@ def bulk_build(
                 cand_d = jnp.concatenate([cand_d[:n], rd[:n]], axis=1)
                 cand_d, cand_ids = _topk.sort_by_dist(cand_d, cand_ids)
             chunk = min(CONNECT_CHUNK, max(256, len(members)))
-            slots_pad = jnp.asarray(_pad_to(members.astype(np.int32), chunk, -1))
+            slots_pad = _pad_to(members.astype(np.int32), chunk, -1)
             Kc = int(cand_ids.shape[1])
             # pad candidate tables to the padded member count (position
             # n_pad.. are dropped rows)
@@ -765,20 +928,19 @@ def bulk_build(
                     [cand_ids, jnp.full((extra, Kc), NO_ID, dtype=jnp.int32)]
                 )
                 cand_d = jnp.concatenate([cand_d, jnp.full((extra, Kc), INF)])
-            dev, dirty, counters = _bulk_connect_jit(
+            dev, dirty, counters = _bulk_connect(
                 dev,
                 slots_pad,
                 cand_ids,
                 cand_d,
-                jnp.int32(level),
+                level,
                 dirty,
                 counters,
-                is_level0=(level == 0),
                 cap=cap,
                 alpha=alpha,
                 K=Kc,
-                n_steps=n_pad // chunk,
                 chunk=chunk,
+                cancel=cancel,
             )
             if cross is not None:
                 dev, dirty, counters = _force_cross_links_jit(

@@ -23,6 +23,7 @@ builds — the analogue of the reference's ``ScoredLink`` (hnsw.rs:30) kept in
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -245,23 +246,29 @@ class HostGraph:
         def remap_vals(table: np.ndarray) -> np.ndarray:
             return np.where(table >= 0, inv[np.maximum(table, 0)], -1).astype(table.dtype)
 
-        self.ids = self.ids[perm]
-        self.levels = self.levels[perm]
-        self.vectors = self.vectors[perm]
-        self.norms = self.norms[perm]
+        self.permute_host_only(perm, inv)
         self.links0 = remap_vals(self.links0)[perm]
         self.dists0 = self.dists0[perm]
         for l in range(len(self.upper_links)):
             self.upper_links[l] = remap_vals(self.upper_links[l])
+
+    def permute_host_only(self, perm: np.ndarray, inv: np.ndarray) -> None:
+        """The host-exclusive half of ``permute`` — everything except the
+        link tables. Builders that already renumbered the device-resident
+        tables (``permute_device``) call this before ``from_device`` pulls
+        the permuted links back, so the big link gathers never run on the
+        host."""
+        self.ids = self.ids[perm]
+        self.levels = self.levels[perm]
+        self.vectors = self.vectors[perm]
+        self.norms = self.norms[perm]
+        for l in range(len(self.slot_rows)):
             self.slot_rows[l] = self.slot_rows[l][perm]
         self.entry_slots = [int(inv[e]) for e in self.entry_slots]
         self.id_to_slot = {
             int(self.ids[s]): int(s)
             for s in np.nonzero(self.ids != INVALID_ID)[0]
         }
-        # free/fresh tracking: fold every unallocated slot into the free
-        # list (ascending, so pops hand out high slots first) — the
-        # allocated/never-allocated split doesn't survive a permutation
         self.free_slots = np.nonzero(self.ids == INVALID_ID)[0].tolist()
         self.next_fresh = self.capacity
 
@@ -417,15 +424,49 @@ class HostGraph:
 
         Writes one links row per (item, layer<=level) — including empty
         rows, matching the reference where every inserted node gets a
-        ``NodeState`` even if no links were added (hnsw.rs:419-424)."""
+        ``NodeState`` even if no links were added (hnsw.rs:419-424).
+
+        On the real backends the rows are assembled with the vectorized
+        schema codecs (``keys_bytes``/``links_payload``, byte-identical
+        to the per-record codecs) and written via one ``put_many_raw``
+        per level batch — a fresh 10M flush runs no per-row Python."""
         if slots is None:
             slots = np.nonzero(self.valid_mask())[0]
+        slots = np.asarray(slots, dtype=np.int64)
+        slots = slots[self.levels[slots] >= 0]  # released since touched
+        put_raw = getattr(db, "put_many_raw", None)
+        if put_raw is not None and len(slots):
+            from ..store.schema import NodeMode, keys_bytes, links_payload
+
+            lvls = self.levels[slots]
+            max_lvl = int(lvls.max())
+            for level in range(max_lvl + 1):
+                sl = slots[lvls >= level]
+                if level == 0:
+                    table = self.links0[sl]
+                else:
+                    rows = self.slot_rows[level - 1][sl]
+                    table = self.upper_links[level - 1][np.maximum(rows, 0)]
+                    table = np.where((rows >= 0)[:, None], table, -1)
+                link_ids = np.where(
+                    table >= 0,
+                    self.ids[np.maximum(table, 0)].astype(np.int64),
+                    np.int64(-1),
+                )
+                for start in range(0, len(sl), 262144):
+                    part = slice(start, start + 262144)
+                    keys = keys_bytes(
+                        index, NodeMode.LINKS,
+                        self.ids[sl[part]].astype(np.uint32), layer=level,
+                    )
+                    vbuf, offs = links_payload(link_ids[part])
+                    put_raw(wtxn, keys.tobytes(), vbuf, offs)
+            return
+        # minimal Database protocol (tests' counting shims)
         keys: list[bytes] = []
         vals: list[bytes] = []
         put_many = getattr(db, "put_many", None)
         for slot in slots:
-            if self.levels[slot] < 0:
-                continue  # released since being touched
             item_id = int(self.ids[slot])
             for level in range(int(self.levels[slot]) + 1):
                 link_slots = self.links_of(int(slot), level)
@@ -437,7 +478,7 @@ class HostGraph:
                     keys, vals = [], []
         if put_many is not None:
             put_many(wtxn, keys, vals)
-        else:  # minimal Database protocol (tests' counting shims)
+        else:
             for k, v in zip(keys, vals):
                 db.put(wtxn, k, v)
 
@@ -624,6 +665,37 @@ def to_device(
         valid=jnp.asarray(g.valid_mask()),
         metric_name=g.metric.name,
         max_level=g.max_level,
+    )
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def permute_device(dev: DeviceGraph, perm: jax.Array, inv: jax.Array) -> DeviceGraph:
+    """Renumber slots of the HBM-resident graph: new slot ``i`` takes old
+    slot ``perm[i]``; link *values* (slots) are remapped through ``inv``.
+
+    The device twin of ``HostGraph.permute`` minus the host-only state —
+    HBM gathers run at stream bandwidth, so the bulk builder renumbers
+    here and lets ``from_device`` pull back already-permuted link tables
+    (the host permutes only its host-exclusive arrays,
+    ``permute_host_only``). Upper-table row numbers are not slots and
+    keep their order; only ``slot_rows`` re-indexes.
+    """
+
+    def remap(t: jax.Array) -> jax.Array:
+        return jnp.where(t >= 0, inv[jnp.maximum(t, 0)].astype(t.dtype), t.dtype.type(-1))
+
+    return DeviceGraph(
+        vectors=dev.vectors[perm],
+        norms=dev.norms[perm],
+        links0=remap(dev.links0)[perm],
+        dists0=dev.dists0[perm],
+        upper_links=remap(dev.upper_links),
+        upper_dists=dev.upper_dists,
+        slot_rows=dev.slot_rows[:, perm],
+        entry_slots=remap(dev.entry_slots),
+        valid=dev.valid[perm],
+        metric_name=dev.metric_name,
+        max_level=dev.max_level,
     )
 
 

@@ -71,7 +71,7 @@ class ShardedWriter:
         for s in range(self.n_shards):
             mask = (items % self.n_shards) == s
             if mask.any():
-                self._writers[s].add_items(items[mask].tolist(), vectors[mask])
+                self._writers[s].add_items(items[mask], vectors[mask])
 
     def del_item(self, item: int) -> bool:
         return self._writers[shard_of(item, self.n_shards)].del_item(item)

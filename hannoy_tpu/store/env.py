@@ -206,10 +206,49 @@ class Database:
         if txn._bytes_written + self._env._live_bytes > self._env.map_size:
             raise DatabaseFull()
 
+    def put_many_raw(self, txn: RwTxn, kbuf: bytes, vbuf: bytes, offs) -> None:
+        """Buffer-batched put (native-backend API parity: n concatenated
+        8-byte keys + [n+1] u64 value offsets). The pure-Python overlay
+        splits the buffers — correctness path only."""
+        n = len(offs) - 1
+        mv = memoryview(vbuf)
+        self.put_many(
+            txn,
+            [bytes(kbuf[i * 8 : (i + 1) * 8]) for i in range(n)],
+            [bytes(mv[int(offs[i]) : int(offs[i + 1])]) for i in range(n)],
+        )
+
     def delete(self, txn: RwTxn, key: bytes) -> bool:
         existed = self.get(txn, key) is not None
         txn._table_overlay(self.name)[key] = None
         return existed
+
+    def delete_many(self, txn: RwTxn, keys_u64) -> None:
+        """Batched delete of u64-encoded keys (native-backend API parity;
+        the overlay dict is the batch)."""
+        ov = txn._table_overlay(self.name)
+        for k in np.asarray(keys_u64, dtype=np.uint64).tolist():
+            ov[int(k).to_bytes(8, "big")] = None
+
+    def scan_fixed(self, txn, prefix: bytes, row_bytes: int):
+        """Vectorized-shape range scan of fixed-width values (native API
+        parity) → (keys u64 [n], rows uint8 [n, row_bytes])."""
+        keys: list[int] = []
+        rows: list[bytes] = []
+        for k, v in self.prefix_iter(txn, prefix):
+            if len(v) != row_bytes:
+                raise StoreError(
+                    f"scan_fixed: variable-width value in fixed scan "
+                    f"(expected {row_bytes}, got {len(v)})"
+                )
+            keys.append(int.from_bytes(k, "big"))
+            rows.append(v)
+        if not keys:
+            return np.empty(0, dtype=np.uint64), np.empty((0, row_bytes), dtype=np.uint8)
+        return (
+            np.asarray(keys, dtype=np.uint64),
+            np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(len(keys), row_bytes),
+        )
 
 
 class Env:

@@ -564,6 +564,15 @@ int hny_del(Txn* t, const char* name, const uint8_t* key) {
   return existed;
 }
 
+// Batched tombstone write: marks n u64 keys deleted in the overlay.
+// The journal-clear path at 10M stones — replaces n hny_del round trips
+// (existence checks are skipped; callers scanned the keys they delete).
+int hny_del_many(Txn* t, const char* name, const uint64_t* keys, int64_t n) {
+  auto& table = t->overlay->tables[name];
+  for (int64_t i = 0; i < n; i++) table[keys[i]] = {false, std::string()};
+  return 0;
+}
+
 // returns value length, or -1 if absent. Copies up to cap bytes into out.
 int64_t hny_get(Txn* t, const char* name, const uint8_t* key, uint8_t* out,
                 uint64_t cap) {

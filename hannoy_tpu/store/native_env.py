@@ -87,6 +87,10 @@ def load_library():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64,
         ctypes.c_int64, ctypes.POINTER(ctypes.c_int),
     ]
+    lib.hny_del_many.restype = ctypes.c_int
+    lib.hny_del_many.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64,
+    ]
     lib.hny_commit.restype = ctypes.c_int
     lib.hny_commit.argtypes = [ctypes.c_void_p]
     lib.hny_compact.restype = ctypes.c_int
@@ -227,6 +231,20 @@ class NativeDatabase:
         offs = np.zeros(n + 1, dtype=np.uint64)
         offs[1:] = np.cumsum(np.fromiter((len(v) for v in values), dtype=np.uint64, count=n))
         vbuf = b"".join(values)
+        self.put_many_raw(txn, kbuf, vbuf, offs)
+
+    def put_many_raw(
+        self, txn: NativeRwTxn, kbuf: bytes, vbuf: bytes, offs: np.ndarray
+    ) -> None:
+        """Zero-copy batched put: ``kbuf`` is n concatenated 8-byte keys,
+        ``vbuf`` the concatenated values, ``offs`` [n+1] u64 value offsets.
+        The 10M-scale staging/flush path — callers assemble both buffers
+        with vectorized numpy (schema.keys_bytes / items_payload /
+        links_payload) so no per-record Python runs anywhere."""
+        n = len(offs) - 1
+        if n <= 0:
+            return
+        offs = np.ascontiguousarray(offs, dtype=np.uint64)
         rc = self._env._lib.hny_put_many(
             txn._ptr, self._bname, kbuf, vbuf,
             offs.ctypes.data_as(ctypes.c_void_p), n,
@@ -241,6 +259,61 @@ class NativeDatabase:
         existed = self._env._lib.hny_del(txn._ptr, self._bname, key)
         txn._dirty = True
         return bool(existed)
+
+    def delete_many(self, txn: NativeRwTxn, keys_u64: np.ndarray) -> None:
+        """Batched tombstones for u64-encoded keys (the journal-clear path
+        — callers pass keys they just scanned, so no existence checks)."""
+        keys_u64 = np.ascontiguousarray(keys_u64, dtype=np.uint64)
+        n = len(keys_u64)
+        if not n:
+            return
+        self._env._lib.hny_del_many(
+            txn._ptr, self._bname,
+            keys_u64.ctypes.data_as(ctypes.c_void_p), n,
+        )
+        txn._dirty = True
+
+    def scan_fixed(
+        self, txn: NativeRoTxn, prefix: bytes, row_bytes: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized range scan of fixed-width values → (keys u64 [n],
+        rows uint8 [n, row_bytes]). Unlike ``bulk_rows`` this merges the
+        write overlay (hny_scan_vals), so records written in the current
+        transaction are visible — the journal-scan fast path."""
+        lo, hi = _range_from_prefix(prefix)
+        lib = self._env._lib
+        cap = 1 << 16
+        vals_cap = cap * max(row_bytes, 1)
+        keys = np.empty(cap, dtype=np.uint64)
+        lens = np.empty(cap, dtype=np.uint32)
+        out_k: list[np.ndarray] = []
+        out_v: list[np.ndarray] = []
+        more = ctypes.c_int(1)
+        while more.value:
+            vbuf = np.empty(vals_cap, dtype=np.uint8)
+            n = lib.hny_scan_vals(
+                txn._ptr, self._bname, lo, hi,
+                keys.ctypes.data_as(ctypes.c_void_p),
+                lens.ctypes.data_as(ctypes.c_void_p),
+                vbuf.ctypes.data_as(ctypes.c_void_p), vals_cap, cap,
+                ctypes.byref(more),
+            )
+            if n == 0:
+                if more.value:
+                    raise StoreError("scan_fixed made no progress")
+                break
+            if not (lens[:n] == row_bytes).all():
+                raise StoreError(
+                    f"scan_fixed: variable-width value in fixed scan "
+                    f"(expected {row_bytes})"
+                )
+            out_k.append(keys[:n].copy())
+            out_v.append(vbuf[: n * row_bytes].reshape(n, row_bytes).copy())
+            if more.value:
+                lo = int(keys[n - 1]) + 1
+        if not out_k:
+            return np.empty(0, dtype=np.uint64), np.empty((0, row_bytes), dtype=np.uint8)
+        return np.concatenate(out_k), np.concatenate(out_v)
 
     def scan_keys(self, txn: NativeRoTxn, prefix: bytes) -> np.ndarray:
         lo, hi = _range_from_prefix(prefix)

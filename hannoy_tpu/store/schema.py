@@ -163,6 +163,86 @@ def payload_tag(data: bytes) -> int:
 
 
 # --------------------------------------------------------------------------
+# Vectorized batch codecs — byte-identical twins of the per-record codecs
+# above, for the two store hot paths (item staging, link flush) where a
+# per-record Python loop dominates 10M-scale builds.
+# --------------------------------------------------------------------------
+
+
+def keys_bytes(index: int, mode: NodeMode, items: np.ndarray, layer: int = 0) -> np.ndarray:
+    """Vectorized ``Key(...).to_bytes()`` for a batch of items → [n, 8] u8.
+
+    Row ``i`` is byte-identical to ``Key(index, mode, items[i],
+    layer).to_bytes()`` (same big-endian u16∥u8∥u32∥u8 layout as the
+    reference key codec, src/key.rs:54-82)."""
+    items = np.ascontiguousarray(items, dtype=np.uint32)
+    n = len(items)
+    buf = np.empty((n, 8), dtype=np.uint8)
+    buf[:, 0] = (index >> 8) & 0xFF
+    buf[:, 1] = index & 0xFF
+    buf[:, 2] = int(mode)
+    buf[:, 3:7] = items.astype(">u4").view(np.uint8).reshape(n, 4)
+    buf[:, 7] = layer
+    return buf
+
+
+def items_payload(headers: np.ndarray, vector_rows: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Vectorized ``encode_item`` for fixed-size rows → (vbuf, offsets).
+
+    ``headers`` is ``[n, H]`` u8 (every row the same header length, as all
+    metric headers are a single little-endian f32 norm); ``vector_rows``
+    is ``[n, B]`` u8 of raw packed vector bytes. Row ``i`` of the output
+    is byte-identical to ``encode_item(headers[i], vector_rows[i])``."""
+    n, H = headers.shape
+    B = vector_rows.shape[1]
+    rec = 3 + H + B
+    out = np.empty((n, rec), dtype=np.uint8)
+    out[:, 0] = _TAG_ITEM
+    out[:, 1] = (H >> 8) & 0xFF
+    out[:, 2] = H & 0xFF
+    out[:, 3 : 3 + H] = headers
+    out[:, 3 + H :] = vector_rows
+    offs = (np.arange(n + 1, dtype=np.uint64) * rec).astype(np.uint64)
+    return out.tobytes(), offs
+
+
+def links_payload(link_ids: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Vectorized ``encode_links`` for a batch of rows → (vbuf, offsets).
+
+    ``link_ids`` is ``[n, M]`` int64 with -1 for empty slots; valid
+    entries are item ids in [0, 2^32). Row ``i`` of the output is
+    byte-identical to ``encode_links(row's valid ids)`` — tag 2 ∥ sorted
+    little-endian u32 ids (empty rows are just the tag byte, matching
+    the reference writing a NodeState even when no links were added,
+    hnsw.rs:419-424)."""
+    link_ids = np.asarray(link_ids, dtype=np.int64)
+    n, M = link_ids.shape
+    # sort valid ids ascending per row; invalids (−1) sort past any u32
+    sort_keys = np.where(link_ids >= 0, link_ids, np.int64(1) << 33)
+    sorted_ids = np.sort(sort_keys, axis=1)
+    counts = (link_ids >= 0).sum(axis=1).astype(np.int64)
+    lens = 1 + 4 * counts
+    offs = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(lens, out=offs[1:])
+    vbuf = np.zeros(int(offs[-1]), dtype=np.uint8)
+    starts = offs[:-1].astype(np.int64)
+    vbuf[starts] = _TAG_LINKS_RAW
+    total = int(counts.sum())
+    if total:
+        valid_mask = sorted_ids < (np.int64(1) << 33)
+        flat_ids = sorted_ids[valid_mask].astype("<u4").view(np.uint8).reshape(-1, 4)
+        # destination byte offset of each valid id: its row's start + 1
+        # (tag) + 4 × its rank within the row
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+        )
+        dst = np.repeat(starts + 1, counts) + 4 * within
+        for b in range(4):
+            vbuf[dst + b] = flat_ids[:, b]
+    return vbuf.tobytes(), offs
+
+
+# --------------------------------------------------------------------------
 # Metadata codec (reference src/metadata.rs:12-73)
 # --------------------------------------------------------------------------
 

@@ -104,9 +104,22 @@ def test_bulk_build_is_deterministic():
         assert np.array_equal(a.upper_links[l], b.upper_links[l])
 
 
+def _id_graph(g):
+    """Every (item id, level) → sorted neighbor item ids — the
+    numbering-independent view of the whole graph."""
+    out = {}
+    for s in np.nonzero(g.levels >= 0)[0]:
+        for level in range(int(g.levels[s]) + 1):
+            out[(int(g.ids[s]), level)] = sorted(
+                int(g.ids[x]) for x in g.links_of(int(s), level)
+            )
+    return out
+
+
 def test_bulk_renumber_permutes_but_preserves_results():
     data, _ = _clustered(4000, 24)
     out = {}
+    id_graphs = {}
     for renum in (False, True):
         g, slots = _staged(distances.COSINE, data)
         build_graph(
@@ -114,6 +127,7 @@ def test_bulk_renumber_permutes_but_preserves_results():
             BuildOptions(ef_construction=32, bulk=True, bulk_renumber=renum),
         )
         g.check_validity()
+        id_graphs[renum] = _id_graph(g)
         dev = to_device(g)
         qp = codecs.pack(data[:32], distances.COSINE.codec)
         q = jnp.asarray(qp)
@@ -122,6 +136,12 @@ def test_bulk_renumber_permutes_but_preserves_results():
         slots_found = np.asarray(res.slots)[:, :10]
         ids = np.where(slots_found >= 0, g.ids[np.maximum(slots_found, 0)], -1)
         out[renum] = ids
+    # renumbering must be a pure relabeling: the id-keyed graph —
+    # including every upper layer reached through slot_rows — is
+    # byte-identical (catches a desynced host slot_rows table, which
+    # silently breaks the descent at scale while small-scale searches
+    # still succeed)
+    assert id_graphs[False] == id_graphs[True]
     # same item ids found regardless of the internal slot numbering
     assert np.array_equal(out[False], out[True])
 

@@ -151,3 +151,52 @@ def test_idset_rle_roundtrip_dense_and_sparse():
         assert IdSet.from_bytes(s.to_bytes()) == s
     # dense ranges compress to O(1) runs
     assert len(dense.to_bytes()) == 4 + 8
+
+
+def test_vectorized_keys_match_scalar_codec():
+    """schema.keys_bytes row i must be byte-identical to Key.to_bytes()."""
+    from hannoy_tpu.store.schema import Key, NodeMode, keys_bytes
+
+    rng = np.random.default_rng(7)
+    items = rng.integers(0, 2**32, size=257, dtype=np.uint64).astype(np.uint32)
+    items[0] = 0
+    items[1] = 2**32 - 1
+    for mode in (NodeMode.ITEM, NodeMode.LINKS, NodeMode.UPDATED):
+        for layer in (0, 3, 255):
+            batch = keys_bytes(41, mode, items, layer=layer)
+            for i in (0, 1, 17, 256):
+                assert (
+                    bytes(batch[i])
+                    == Key(41, mode, int(items[i]), layer).to_bytes()
+                )
+
+
+def test_vectorized_items_payload_matches_scalar_codec():
+    from hannoy_tpu.store.schema import encode_item, items_payload
+
+    rng = np.random.default_rng(8)
+    n, H, B = 33, 4, 24
+    headers = rng.integers(0, 256, size=(n, H), dtype=np.uint8)
+    rows = rng.integers(0, 256, size=(n, B), dtype=np.uint8)
+    vbuf, offs = items_payload(headers, rows)
+    for i in (0, 1, 32):
+        expect = encode_item(headers[i].tobytes(), rows[i].tobytes())
+        assert vbuf[int(offs[i]) : int(offs[i + 1])] == expect
+
+
+def test_vectorized_links_payload_matches_scalar_codec():
+    from hannoy_tpu.store.schema import encode_links, links_payload
+
+    rng = np.random.default_rng(9)
+    n, M = 65, 16
+    table = rng.integers(0, 2**32, size=(n, M), dtype=np.int64)
+    # random empties, one full row, one empty row, u32::MAX ids
+    table[rng.random(size=(n, M)) < 0.4] = -1
+    table[0] = -1
+    table[1] = rng.integers(0, 2**32, size=M, dtype=np.int64)
+    table[2, :3] = 2**32 - 1
+    vbuf, offs = links_payload(table)
+    for i in range(n):
+        valid = table[i][table[i] >= 0].astype(np.uint32)
+        expect = encode_links(valid)
+        assert vbuf[int(offs[i]) : int(offs[i + 1])] == expect

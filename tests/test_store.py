@@ -212,6 +212,24 @@ def test_native_bulk_rows(tmp_path):
     nat.close()
 
 
+def _child_env():
+    """Environment for subprocess tests: plain CPU jax WITHOUT the axon
+    TPU plugin. The plugin's sitecustomize registers against the chip
+    relay at interpreter start and can block indefinitely when the shared
+    chip's grant is contended — none of these children need a device."""
+    import os as _os
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    env = {
+        k: v
+        for k, v in _os.environ.items()
+        if not k.startswith(("PALLAS_AXON", "AXON_"))
+    }
+    env["PYTHONPATH"] = repo
+    env["JAX_PLATFORMS"] = "cpu"
+    return env
+
+
 def test_single_process_ownership(tmp_path, env_cls):
     """A second process must not co-own the log (LMDB coordinates via
     shared locks; our append-only log takes an exclusive flock)."""
@@ -224,7 +242,6 @@ def test_single_process_ownership(tmp_path, env_cls):
     with env.write_txn() as w:
         db.put(w, Key.item(0, 1).to_bytes(), b"x")
     code = (
-        "import sys; sys.path.insert(0, %r)\n"
         "from hannoy_tpu.store import %s as E\n"
         "from hannoy_tpu.errors import StoreError\n"
         "try:\n"
@@ -232,23 +249,19 @@ def test_single_process_ownership(tmp_path, env_cls):
         "    print('OPENED')\n"
         "except StoreError:\n"
         "    print('LOCKED')\n"
-    ) % (str(tmp_path / ".." / ".." / ".."), env_cls.__name__, str(path))
-    import os as _os
-
-    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-    code = code.replace(repr(str(tmp_path / ".." / ".." / "..")), repr(repo))
+    ) % (env_cls.__name__, str(path))
     out = subprocess.run(
         [sys.executable, "-c", code],
-        capture_output=True, text=True,
-        env={**_os.environ, "JAX_PLATFORMS": "cpu"},
+        capture_output=True, text=True, timeout=240,
+        env=_child_env(),
     )
     assert "LOCKED" in out.stdout, out.stdout + out.stderr
     env.close()
     # after close, a new process can take ownership
     out = subprocess.run(
         [sys.executable, "-c", code],
-        capture_output=True, text=True,
-        env={**_os.environ, "JAX_PLATFORMS": "cpu"},
+        capture_output=True, text=True, timeout=240,
+        env=_child_env(),
     )
     assert "OPENED" in out.stdout, out.stdout + out.stderr
 
@@ -283,7 +296,6 @@ def test_lock_survives_compaction(tmp_path, env_cls):
     on a sidecar file, not the renamed log."""
     import subprocess
     import sys
-    import os as _os
 
     path = tmp_path / "cl"
     env = env_cls(path)
@@ -292,9 +304,7 @@ def test_lock_survives_compaction(tmp_path, env_cls):
         for i in range(20):
             db.put(w, Key.item(0, i).to_bytes(), b"v" * 100)
     env.compact()
-    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     code = (
-        f"import sys; sys.path.insert(0, {repo!r})\n"
         f"from hannoy_tpu.store import {env_cls.__name__} as E\n"
         "from hannoy_tpu.errors import StoreError\n"
         "try:\n"
@@ -304,7 +314,8 @@ def test_lock_survives_compaction(tmp_path, env_cls):
         "    print('LOCKED')\n"
     )
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=120
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=240,
+        env=_child_env(),
     )
     assert "LOCKED" in out.stdout, out.stdout + out.stderr
     env.close()
