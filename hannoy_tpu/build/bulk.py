@@ -69,16 +69,28 @@ KMEANS_CHUNK = 8192
 #: clusters per candidate-generation fori step
 CAND_GROUP = 4
 
-#: metrics the dense block path supports (manhattan / packed codecs would
-#: materialize [G, S, T, D] — they stay on the wave path)
-BULK_METRICS = ("cosine", "euclidean")
+#: metrics the dense block path supports. Dot metrics ride the MXU
+#: directly; the packed codecs ride it through the exact popcount-as-dot
+#: identity (distances.unpack_bits): candidate blocks unpack to {0,1}
+#: bf16 and every packed distance is recovered from
+#: ``pc = pc(p)+pc(q)-2·dot``. f32 manhattan would materialize
+#: [G, S, T, D] — it stays on the wave path.
+BULK_METRICS = (
+    "cosine",
+    "euclidean",
+    "hamming",
+    "binary quantized cosine",
+    "binary quantized euclidean",
+    "binary quantized manhattan",
+)
 
 
 def eligible(metric, n_active: int, n_deleted: int, n_insert: int, opts) -> bool:
-    """Bulk path applies to large fresh builds of dot-metric indexes.
+    """Bulk path applies to large fresh builds of every metric except f32
+    manhattan (packed codecs ride the MXU via popcount-as-dot).
 
     Incremental builds (pre-existing active graph) and deletes keep the
-    wave path — their semantics (journal-driven insert/repair into a live
+    wave path — their semantics (journal-driven insert/delete into a live
     graph, writer.rs:521-603) are insertion-shaped by nature.
     """
     if opts.bulk is False:
@@ -118,9 +130,16 @@ def _kmeans_step(
 
     Returns (new_centroids, assignment [n_pad]). Empty clusters keep their
     previous centroid (they stay empty; adjacency just never picks them).
+
+    Packed metrics cluster in the unpacked {0, 1} space: centroids are
+    continuous bit-probability vectors (f32 [C, D_pad]) and assignment is
+    by squared euclidean — which equals expected hamming distance to the
+    centroid's cluster, and every packed metric is monotone in hamming,
+    so the partition is the right one for all of them.
     """
     metric = distances.by_name(metric_name)
     C, D = centroids.shape
+    packed = metric.is_packed
     cn = _centroid_norms(metric, centroids)
     n_pad = member_slots.shape[0]
 
@@ -128,9 +147,18 @@ def _kmeans_step(
         sums, counts, assign = state
         sl = jax.lax.dynamic_slice(member_slots, (i * chunk,), (chunk,))
         ok = sl >= 0
-        x = vectors[jnp.maximum(sl, 0)].astype(jnp.float32)
-        xn = norms[jnp.maximum(sl, 0)]
-        d = distances.matrix_distances(metric, x, xn, centroids, cn)  # [chunk, C]
+        raw = vectors[jnp.maximum(sl, 0)]
+        if packed:
+            x = distances.unpack_bits(raw).astype(jnp.float32)
+            dots = jnp.einsum("bd,cd->bc", x, centroids, preferred_element_type=jnp.float32)
+            # |x|² is constant per row — argmin over c needs only c²-2xc
+            # (c² is loop-invariant; XLA hoists it out of the fori_loop)
+            c2 = jnp.einsum("cd,cd->c", centroids, centroids, preferred_element_type=jnp.float32)
+            d = c2[None, :] - 2.0 * dots
+        else:
+            x = raw.astype(jnp.float32)
+            xn = norms[jnp.maximum(sl, 0)]
+            d = distances.matrix_distances(metric, x, xn, centroids, cn)  # [chunk, C]
         a = jnp.argmin(d, axis=-1).astype(jnp.int32)
         oh = jax.nn.one_hot(a, C, dtype=jnp.float32) * ok[:, None]
         sums = sums + jnp.einsum(
@@ -148,7 +176,7 @@ def _kmeans_step(
     sums, counts, assign = jax.lax.fori_loop(0, n_steps, body, (sums, counts, assign))
     new_c = sums / jnp.maximum(counts, 1.0)[:, None]
     new_c = jnp.where((counts > 0)[:, None], new_c, centroids)
-    return new_c.astype(vectors.dtype), assign
+    return new_c.astype(centroids.dtype), assign
 
 
 def _centroid_norms(metric, centroids: jax.Array) -> jax.Array:
@@ -177,6 +205,9 @@ def kmeans_partition(
     n_steps = slots_pad.shape[0] // KMEANS_CHUNK
     init = member_slots[rng.choice(n, size=n_clusters, replace=False)]
     centroids = dev.vectors[jnp.asarray(init.astype(np.int32))]
+    if dev.metric.is_packed:
+        # packed rows cluster in the unpacked {0,1} space (see _kmeans_step)
+        centroids = distances.unpack_bits(centroids).astype(jnp.float32)
     assign = None
     for _ in range(max(1, iters)):
         if cancel is not None and cancel():
@@ -214,7 +245,13 @@ def _brute_candidates_jit(
         sl = jax.lax.dynamic_slice(member_slots, (p0,), (chunk,))
         q = jax.lax.dynamic_slice(mvec, (p0, 0), (chunk, mvec.shape[1]))
         qn = jax.lax.dynamic_slice(mnrm, (p0,), (chunk,))
-        d = distances.matrix_distances(metric, q, qn, mvec, mnrm)  # [chunk, M]
+        if metric.is_packed:
+            # MXU popcount-as-dot (exact): the member set is bounded by
+            # BRUTE_MAX so unpacking both operands is cheap, and the dense
+            # dot replaces a [chunk, M, W] XOR-popcount broadcast
+            d = distances.packed_matrix_mxu(metric, q, qn, mvec, mnrm)
+        else:
+            d = distances.matrix_distances(metric, q, qn, mvec, mnrm)  # [chunk, M]
         d = jnp.where(col_ok[None, :], d, INF)
         # exclude self by position
         pos = p0 + jnp.arange(chunk, dtype=jnp.int32)
@@ -375,6 +412,11 @@ def _pseudo_cluster_tables(
 def _cluster_adjacency_jit(centroids, parent, metric_name: str, A: int):
     """Top-A nearest pseudo-clusters per pseudo-cluster (incl. self)."""
     metric = distances.by_name(metric_name)
+    if metric.is_packed:
+        # packed centroids are continuous bit-probability vectors in the
+        # unpacked space (see _kmeans_step); euclidean between them is the
+        # expected-hamming proxy every packed metric is monotone in
+        metric = distances.EUCLIDEAN
     pc = centroids[parent]  # [Cp, D] pseudo-cluster centroids
     pn = _centroid_norms(metric, pc)
     d = distances.matrix_distances(metric, pc, pn, pc, pn)  # [Cp, Cp]
@@ -458,16 +500,22 @@ def layer_candidates(
     return ids, d, order, (x_src.reshape(-1), x_dst.reshape(-1), x_d.reshape(-1))
 
 
-@partial(jax.jit, static_argnames=("n_clusters", "n_steps", "chunk"))
-def _segment_centroids_jit(vectors, member_slots, assign, n_clusters: int, n_steps: int, chunk: int):
-    D = vectors.shape[1]
+@partial(jax.jit, static_argnames=("packed", "n_clusters", "n_steps", "chunk"))
+def _segment_centroids_jit(
+    vectors, member_slots, assign, packed: bool, n_clusters: int, n_steps: int, chunk: int
+):
+    D = vectors.shape[1] * (distances.codecs.LANE_BITS if packed else 1)
 
     def body(i, state):
         sums, counts = state
         sl = jax.lax.dynamic_slice(member_slots, (i * chunk,), (chunk,))
         a = jax.lax.dynamic_slice(assign, (i * chunk,), (chunk,))
         ok = sl >= 0
-        x = vectors[jnp.maximum(sl, 0)].astype(jnp.float32)
+        raw = vectors[jnp.maximum(sl, 0)]
+        if packed:
+            x = distances.unpack_bits(raw).astype(jnp.float32)
+        else:
+            x = raw.astype(jnp.float32)
         oh = jax.nn.one_hot(jnp.where(ok, a, 0), n_clusters, dtype=jnp.float32) * ok[:, None]
         return (
             sums + jnp.einsum("bc,bd->cd", oh, x, preferred_element_type=jnp.float32),
@@ -477,14 +525,15 @@ def _segment_centroids_jit(vectors, member_slots, assign, n_clusters: int, n_ste
     sums = jnp.zeros((n_clusters, D), dtype=jnp.float32)
     counts = jnp.zeros((n_clusters,), dtype=jnp.float32)
     sums, counts = jax.lax.fori_loop(0, n_steps, body, (sums, counts))
-    return (sums / jnp.maximum(counts, 1.0)[:, None]).astype(vectors.dtype)
+    mean = sums / jnp.maximum(counts, 1.0)[:, None]
+    return mean if packed else mean.astype(vectors.dtype)
 
 
 def _segment_centroids(dev, member_slots, assign, n_clusters):
     slots_pad = jnp.asarray(_pad_to(member_slots.astype(np.int32), KMEANS_CHUNK, -1))
     assign_pad = jnp.asarray(_pad_to(assign.astype(np.int32), KMEANS_CHUNK, 0))
     return _segment_centroids_jit(
-        dev.vectors, slots_pad, assign_pad,
+        dev.vectors, slots_pad, assign_pad, packed=dev.metric.is_packed,
         n_clusters=n_clusters, n_steps=slots_pad.shape[0] // KMEANS_CHUNK,
         chunk=KMEANS_CHUNK,
     )

@@ -236,6 +236,51 @@ def matrix_distances(
     return _packed_from_popcount(name, pc, d_pad, q_norm[:, None] * db_norm[None, :])
 
 
+def unpack_bits(x: jax.Array) -> jax.Array:
+    """Unpack uint32 lanes → {0, 1} bfloat16 bits, LSB-first per lane
+    (``[..., W] uint32 → [..., W*32] bfloat16``).
+
+    The bridge from the packed codecs to the MXU: for any two bit rows,
+    ``popcount(p ^ q) == pc(p) + pc(q) - 2·dot(bits_p, bits_q)``, and the
+    dot of {0,1} bfloat16 vectors accumulated in f32 is EXACT (products
+    are 0/1, sums stay far below 2^24) — so every packed metric's
+    popcount, and therefore its distance formula, can ride a dense
+    matmul instead of a [.., .., W]-materializing XOR broadcast.
+    """
+    shifts = jnp.arange(codecs.LANE_BITS, dtype=x.dtype)
+    bits = (x[..., None] >> shifts) & x.dtype.type(1)
+    return bits.reshape(*x.shape[:-1], x.shape[-1] * codecs.LANE_BITS).astype(jnp.bfloat16)
+
+
+def _row_popcounts(x: jax.Array) -> jax.Array:
+    """Total set bits per packed row → float32 [...]."""
+    return jnp.sum(jax.lax.population_count(x).astype(jnp.int32), axis=-1).astype(jnp.float32)
+
+
+def packed_matrix_mxu(
+    metric: Metric,
+    q: jax.Array,  # [B, W] packed lanes
+    q_norm: jax.Array,  # [B]
+    db: jax.Array,  # [N, W]
+    db_norm: jax.Array,  # [N]
+) -> jax.Array:
+    """[B, N] packed-metric distances via one MXU matmul (exact).
+
+    ``popcount(p^q) = pc(p) + pc(q) - 2·dot(bits)`` with the dot over
+    unpacked {0,1} bf16 rows — see :func:`unpack_bits`. Used where both
+    operands are bounded (bulk candidate generation); the streaming
+    XOR-popcount path in :func:`matrix_distances` stays for
+    arbitrarily large ``db`` (unpacking 10M×768 bits would cost 16× the
+    packed HBM footprint)."""
+    dots = jnp.einsum(
+        "bd,nd->bn", unpack_bits(q), unpack_bits(db),
+        preferred_element_type=jnp.float32,
+    )
+    pc = _row_popcounts(q)[:, None] + _row_popcounts(db)[None, :] - 2.0 * dots
+    d_pad = q.shape[-1] * codecs.LANE_BITS
+    return _packed_from_popcount(metric.name, pc, d_pad, q_norm[:, None] * db_norm[None, :])
+
+
 def block_distances(
     metric: Metric,
     q: jax.Array,  # [G, S, D*] row blocks
@@ -251,11 +296,23 @@ def block_distances(
     builder is to turn the reference's per-pair pointer-chasing distance
     calls (hnsw.rs:503) into dense contraction the systolic array eats.
 
-    Dot metrics only (cosine / euclidean via the norm expansion, same
-    deviation note as :func:`matrix_distances`); manhattan and the packed
-    codecs would materialize [G, S, T, D] and stay on the wave path.
+    Dot metrics use cosine / the euclidean norm expansion (same deviation
+    note as :func:`matrix_distances`); the packed codecs unpack blocks to
+    {0, 1} bf16 and ride the same batched matmul (exact — see
+    :func:`unpack_bits`). f32 manhattan would materialize [G, S, T, D]
+    and stays on the wave path.
     """
     name = metric.name
+    if metric.is_packed:
+        dots = jnp.einsum(
+            "gsd,gtd->gst", unpack_bits(q), unpack_bits(c),
+            preferred_element_type=jnp.float32,
+        )
+        pc = _row_popcounts(q)[:, :, None] + _row_popcounts(c)[:, None, :] - 2.0 * dots
+        d_pad = q.shape[-1] * codecs.LANE_BITS
+        return _packed_from_popcount(
+            name, pc, d_pad, q_norm[:, :, None] * c_norm[:, None, :]
+        )
     if c.dtype == jnp.int8:
         c = c.astype(jnp.float32)
     bf16 = c.dtype == jnp.bfloat16

@@ -231,3 +231,38 @@ def test_bulk_not_used_for_incremental(monkeypatch):
         BuildOptions(ef_construction=32, bulk=True),
     )
     assert called["n"] == 1  # unchanged — incremental stayed on waves
+
+
+@pytest.mark.parametrize(
+    "metric", [distances.HAMMING, distances.BQ_COSINE],
+    ids=("hamming", "bq-cosine"),
+)
+def test_bulk_packed_metrics(metric, monkeypatch):
+    """Packed metrics ride the bulk path (popcount-as-dot MXU candidates,
+    k-means over the unpacked {0,1} space) at recall parity with the wave
+    path — measured 20k×128 hamming: bulk 1.0 vs wave 0.9988 at ef=50."""
+    from hannoy_tpu.build import bulk as bulk_mod
+
+    monkeypatch.setattr(bulk_mod, "BRUTE_MAX", 1024)  # force the k-means path
+    data, centers = _clustered(6000, 64)
+    # packed metrics are auto-eligible at the fresh-build threshold
+    assert bulk_mod.eligible(metric, 0, 0, 10_000, BuildOptions())
+    g, slots = _staged(metric, data)
+    build_graph(
+        g, slots, np.empty(0, dtype=np.int64),
+        BuildOptions(ef_construction=32, bulk=True, bulk_cluster_size=256),
+    )
+    g.check_validity()
+    rng = np.random.default_rng(9)
+    queries = (
+        centers[rng.integers(0, len(centers), size=64)]
+        + rng.standard_normal((64, 64))
+    ).astype(np.float32)
+    gw, slots_w = _staged(metric, data)
+    build_graph(
+        gw, slots_w, np.empty(0, dtype=np.int64),
+        BuildOptions(ef_construction=32, bulk=False),
+    )
+    r_bulk = _recall(g, queries)
+    r_wave = _recall(gw, queries)
+    assert r_bulk >= min(0.93, r_wave - 0.02), (r_bulk, r_wave)

@@ -125,3 +125,31 @@ def test_bq_cosine_norm_is_sqrt_padded_dim(rng):
     p = codecs.pack(x, codecs.BQ)
     n = distances.np_norms(BQ_COSINE, p)
     np.testing.assert_allclose(n, np.sqrt(128.0))
+
+
+@pytest.mark.parametrize(
+    "metric", [HAMMING, BQ_COSINE, BQ_EUCLIDEAN, BQ_MANHATTAN],
+    ids=lambda m: m.codec + "-" + m.name.split()[-1],
+)
+def test_packed_mxu_paths_match_numpy(rng, metric):
+    """The popcount-as-dot MXU paths (distances.unpack_bits identity) must
+    be bit-exact vs the numpy oracle: {0,1} bf16 products are exact and
+    the f32 accumulation stays integral below 2^24."""
+    a = codecs.pack(rng.standard_normal((17, 130)).astype(np.float32), metric.codec)
+    b = codecs.pack(rng.standard_normal((23, 130)).astype(np.float32), metric.codec)
+    an, bn = distances.np_norms(metric, a), distances.np_norms(metric, b)
+    want = distances.np_pairwise(metric, a, an, b, bn)
+    got = np.asarray(
+        distances.packed_matrix_mxu(
+            metric, jnp.asarray(a), jnp.asarray(an), jnp.asarray(b), jnp.asarray(bn)
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    got_block = np.asarray(
+        distances.block_distances(
+            metric,
+            jnp.asarray(a)[None], jnp.asarray(an)[None],
+            jnp.asarray(b)[None], jnp.asarray(bn)[None],
+        )
+    )[0]
+    np.testing.assert_allclose(got_block, want, rtol=1e-6, atol=1e-6)
