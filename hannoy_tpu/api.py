@@ -488,11 +488,21 @@ class Writer:
         return False
 
     def clear(self) -> None:
-        """Remove everything for this index (writer.rs:498-511)."""
+        """Remove everything for this index (writer.rs:498-511).
+
+        On capable backends the whole index range is dropped with one
+        vectorized key scan + one batched tombstone call (a 10M-row index
+        clears with no per-record Python — the reshard/rebalance path
+        relies on this)."""
         wtxn = self._database._wtxn()
         db = self._database._db
-        for key, _ in list(db.prefix_iter(wtxn, Prefix.all(self._index))):
-            db.delete(wtxn, key)
+        if hasattr(db, "scan_keys") and hasattr(db, "delete_many"):
+            keys_u64 = db.scan_keys(wtxn, Prefix.all(self._index))
+            if len(keys_u64):
+                db.delete_many(wtxn, keys_u64)
+        else:
+            for key, _ in list(db.prefix_iter(wtxn, Prefix.all(self._index))):
+                db.delete(wtxn, key)
         self._purge_staging(wtxn)
         self._database._env._graph_cache.pop(self._cache_key, None)
 

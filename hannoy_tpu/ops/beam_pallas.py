@@ -129,7 +129,7 @@ def fused_gather_reduce(
         in_specs=[
             pl.BlockSpec((_QB, K), lambda b: (b, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((_QB, C, 128), lambda b: (b, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((_QB, K), lambda b: (b, 0)),
         out_shape=jax.ShapeDtypeStruct((Bp, K), jnp.float32),

@@ -5,7 +5,7 @@ from .sharded import (
     partition_round_robin,
     sharded_insert_wave,
 )
-from .sharded_api import ShardedReader, ShardedWriter, shard_of
+from .sharded_api import ShardedReader, ShardedWriter, reshard, shard_of
 from .spmd_build import spmd_store_build
 
 __all__ = [
@@ -19,6 +19,7 @@ __all__ = [
     "sharded_insert_wave",
     "ShardedReader",
     "ShardedWriter",
+    "reshard",
     "shard_of",
     "spmd_store_build",
 ]

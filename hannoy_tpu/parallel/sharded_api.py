@@ -21,6 +21,8 @@ from jax.sharding import Mesh
 
 from ..api import Database, Reader, Writer
 from ..models.hnsw import HostGraph
+from ..ops import codecs
+from ..store.schema import Key, NodeMode, Prefix, UpdateStatus, encode_update_status, keys_bytes
 from .mesh import make_mesh
 from .sharded import ShardedIndex, pad_to_common_shapes as _pad_to_common_shapes
 
@@ -108,6 +110,148 @@ class ShardedWriter:
             self._database.commit_rw_txn()
         else:
             self._database.abort_rw_txn()
+
+
+def reshard(
+    database: Database,
+    old_n_shards: int,
+    new_n_shards: int,
+    *,
+    base_index: int = 0,
+    new_base_index: Optional[int] = None,
+    dimensions: Optional[int] = None,
+    m: int = 16,
+    ef: int = 96,
+    m0: Optional[int] = None,
+    build: bool = True,
+    opts=None,
+    spmd: Optional[bool] = None,
+    mesh: Optional[Mesh] = None,
+) -> ShardedWriter:
+    """Migrate a sharded deployment to a different shard count.
+
+    The elastic-scaling operation the reference has no analogue for
+    (single-host LMDB — README.md:13): when the device mesh grows or
+    shrinks, every item must move to the shard its id now routes to
+    (``item % new_n_shards``). Item payload records move **verbatim**
+    between store indexes (no decode/re-pack — the moved bytes stay
+    identical to what ``add_items`` wrote), journal stones mark every
+    moved item, and the per-shard graphs are rebuilt fresh (large fresh
+    builds take the cluster-blocked bulk path). Everything happens under
+    the shared wtxn: a crash mid-reshard rolls back to the old layout.
+
+    ``new_base_index=None`` reshards in place at ``base_index`` (old
+    indexes are cleared before the new layout is written). A distinct
+    ``new_base_index`` writes the new layout beside the old one, which is
+    then cleared; the ranges must not overlap.
+
+    Note there is no separate "rebalance" operation: routing is
+    deterministic by id, so shard populations can only skew through the
+    id distribution itself, and deletes never un-balance a deployment
+    relative to that routing.
+
+    Returns a :class:`ShardedWriter` over the new layout (already built
+    when ``build=True``; commit via ``database.commit_rw_txn()``).
+    """
+    if old_n_shards < 1 or new_n_shards < 1:
+        raise ValueError("shard counts must be >= 1")
+    in_place = new_base_index is None or new_base_index == base_index
+    new_base = base_index if in_place else new_base_index
+    if not in_place:
+        old_rng = range(base_index, base_index + old_n_shards)
+        new_rng = range(new_base, new_base + new_n_shards)
+        if max(old_rng.start, new_rng.start) < min(old_rng.stop, new_rng.stop):
+            raise ValueError(
+                f"old index range {old_rng} overlaps new range {new_rng}"
+            )
+    wtxn = database._wtxn()
+    db = database._db
+    metric = database.metric.distance
+
+    # dimensions from the first shard that has been built, else required
+    if dimensions is None:
+        from ..store.schema import Metadata
+
+        for s in range(old_n_shards):
+            md = db.get(wtxn, Key.metadata(base_index + s).to_bytes())
+            if md is not None:
+                dimensions = Metadata.from_bytes(md).dimensions
+                break
+        if dimensions is None:
+            raise ValueError(
+                "no shard has metadata yet - pass dimensions= explicitly"
+            )
+
+    vec_bytes = codecs.pack(np.zeros((1, dimensions), np.float32), metric.codec).nbytes
+    rec = 7 + vec_bytes  # tag ∥ u16 hdr-len ∥ f32 norm ∥ packed row
+
+    # ---- read every item record of the old layout (vectorized) ----
+    all_ids: list[np.ndarray] = []
+    all_rows: list[np.ndarray] = []
+    scan_fixed = getattr(db, "scan_fixed", None)
+    for s in range(old_n_shards):
+        idx = base_index + s
+        if scan_fixed is not None:
+            keys_u64, rows = scan_fixed(wtxn, Prefix.item(idx), rec)
+            ids = ((keys_u64 >> np.uint64(8)) & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        else:
+            pairs = list(db.prefix_iter(wtxn, Prefix.item(idx)))
+            ids = np.asarray(
+                [Key.from_bytes(k).item for k, _ in pairs], dtype=np.uint32
+            )
+            rows = (
+                np.frombuffer(b"".join(v for _, v in pairs), dtype=np.uint8).reshape(
+                    len(pairs), rec
+                )
+                if pairs
+                else np.empty((0, rec), dtype=np.uint8)
+            )
+        all_ids.append(ids)
+        all_rows.append(rows)
+    ids = np.concatenate(all_ids) if all_ids else np.empty(0, dtype=np.uint32)
+    rows = (
+        np.concatenate(all_rows, axis=0)
+        if all_rows
+        else np.empty((0, rec), dtype=np.uint8)
+    )
+
+    # ---- drop the old layout (links, metadata, journal, items) ----
+    for s in range(old_n_shards):
+        database.writer(dimensions, index=base_index + s).clear()
+
+    # ---- write the new layout: verbatim item records + journal stones ----
+    stone = encode_update_status(UpdateStatus.UPDATED)
+    stone_row = np.frombuffer(stone, dtype=np.uint8)
+    dest = ids % np.uint32(new_n_shards)
+    for t in range(new_n_shards):
+        sel = np.nonzero(dest == t)[0]
+        if not len(sel):
+            continue
+        t_idx = new_base + t
+        t_ids = ids[sel]
+        t_rows = np.ascontiguousarray(rows[sel])
+        offs = (np.arange(len(sel) + 1, dtype=np.uint64) * rec).astype(np.uint64)
+        db.put_many_raw(
+            wtxn,
+            keys_bytes(t_idx, NodeMode.ITEM, t_ids).tobytes(),
+            t_rows.tobytes(),
+            offs,
+        )
+        soffs = (np.arange(len(sel) + 1, dtype=np.uint64) * len(stone)).astype(np.uint64)
+        db.put_many_raw(
+            wtxn,
+            keys_bytes(t_idx, NodeMode.UPDATED, t_ids).tobytes(),
+            np.broadcast_to(stone_row, (len(sel), len(stone))).tobytes(),
+            soffs,
+        )
+
+    w = ShardedWriter(
+        database, dimensions, n_shards=new_n_shards, base_index=new_base,
+        m=m, ef=ef, m0=m0, mesh=mesh,
+    )
+    if build:
+        w.build(spmd=spmd, opts=opts)
+    return w
 
 
 class ShardedReader:
