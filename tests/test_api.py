@@ -8,10 +8,13 @@ item_vector truncation for packed codecs (issue #78), by_item excluding
 itself, cancellation, filtered search exactness.
 """
 
+import pathlib
 import threading
 
 import numpy as np
 import pytest
+
+REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
 
 import hannoy_tpu
 from hannoy_tpu import Database, Metric
@@ -704,3 +707,18 @@ def test_readonly_database_cross_process(tmp_path, rng):
     assert r2.n_items() == n + 1
     db.close()
     ro.close()
+
+
+def test_committed_stub_is_current():
+    """The generated hannoy_tpu/__init__.pyi matches the live API (the
+    reference's CI-built stub_gen guarantee, src/bin/stub_gen.rs)."""
+    import sys
+    sys.path.insert(0, str(REPO_ROOT / "scripts"))
+    try:
+        import gen_stubs
+    finally:
+        sys.path.pop(0)
+    committed = (REPO_ROOT / "hannoy_tpu" / "__init__.pyi").read_text()
+    assert committed == gen_stubs.generate(), (
+        "stub stale - rerun python scripts/gen_stubs.py"
+    )
