@@ -371,3 +371,35 @@ def test_force_rebuild_snapshot(tmp_path, rng):
     assert d1 == d2
     assert g1 == g2
     assert g1[0][0] == 9
+
+
+def test_reshard_dump_is_stable_and_routed(tmp_path, rng):
+    """Resharding 2→3 produces a byte-stable dump; every item record
+    lands in the index its id routes to, metadata/journal are clean.
+    (Elastic-scaling analogue of the reference's multi-index isolation
+    dumps, src/tests/writer.rs:158-228.)"""
+    from hannoy_tpu.parallel import ShardedWriter, reshard
+
+    def build(path):
+        db = Database(path, Metric.EUCLIDEAN)
+        data = _vecs(np.random.default_rng(11), 40, 8)
+        with ShardedWriter(db, 8, n_shards=2, m=4, ef=16, m0=8) as w:
+            w.add_items(range(40), data)
+        reshard(db, 2, 3, m=4, ef=16, m0=8)
+        db.commit_rw_txn()
+        dump = dump_db(db, indexes=(0, 1, 2))
+        db.close()
+        return dump
+
+    d1 = build(tmp_path / "a")
+    d2 = build(tmp_path / "b")
+    assert d1 == d2, "reshard dump not deterministic"
+    # routing: items in index t are exactly {i : i % 3 == t}
+    idx = -1
+    for line in d1.splitlines():
+        if line.startswith("Dumping index "):
+            idx = int(line.split()[-1])
+        elif line.startswith("Item "):
+            item = int(line.split()[1].rstrip(":"))
+            assert item % 3 == idx, (item, idx)
+    assert "Updated" not in d1, "journal must be consumed by the rebuild"
