@@ -193,8 +193,7 @@ def main() -> None:
         chosen = max(ef_sweep)
 
     recall, qps = results[chosen]
-    print(
-        json.dumps(
+    row = json.dumps(
             {
                 "metric": f"qps_at_recall10_{RECALL_BAR}_{metric.name.replace(' ', '-')}_{n}x{d}",
                 "value": round(qps, 1),
@@ -211,8 +210,17 @@ def main() -> None:
                 "calib_post": chip_calibration(),
                 "device": str(jax.devices()[0]),
             }
-        )
     )
+    print(row)
+    # record the run (driver contract stays ONE stdout JSON line)
+    if os.environ.get("HANNOY_BENCH_RECORD", "1") == "1":
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "benchmarks", "results_r3.jsonl")
+        try:
+            with open(out, "a") as f:
+                f.write(row + "\n")
+        except OSError:
+            pass
 
 
 if __name__ == "__main__":
