@@ -150,16 +150,16 @@ def main() -> None:
     build_graph(g, slots, np.empty(0, dtype=np.int64), _opts())
     build_cold_s = time.perf_counter() - t0
 
-    g2 = HostGraph.empty(metric, d, m, m0, capacity=slot_capacity(n))
-    for i in range(n):
-        g2.alloc_slot(i)
-    g2.vectors[:n] = g.vectors[:n]
-    g2.norms[:n] = g.norms[:n]
+    # steady rebuild = the operator's recurring cost: same Database, links
+    # dropped, vectors already resident in HBM (the device vector cache —
+    # exactly what Writer.force_rebuild pays on a live index). The cold
+    # number above additionally carries XLA compiles, executable loads and
+    # the full 400 MB vector upload through the (possibly remote) runtime.
+    g.reset_links()
     t0 = time.perf_counter()
-    build_graph(g2, slots, np.empty(0, dtype=np.int64), _opts())
+    build_graph(g, slots, np.empty(0, dtype=np.int64), _opts())
     build_s = time.perf_counter() - t0
     build_vps = n / build_s
-    g = g2
 
     dev = to_device(g)
     qp = codecs.pack(queries, metric.codec)

@@ -574,8 +574,14 @@ class Writer:
         g = HostGraph.load(self._database._db, wtxn, self._index, self._metric, md)
         if len(metadata.items):
             dev = _hnsw.to_device(g)
+            # fill_link_dists donates the graph — detach the vector-cache
+            # key across the call and re-point at the output (hnsw.py
+            # DeviceVecCache donation discipline)
+            ck = g.dev_cache.take_key() if g.dev_cache is not None else None
             dev = wave_ops.fill_link_dists(dev, g)
             _hnsw.from_device(g, dev)
+            if g.dev_cache is not None:
+                g.dev_cache.restore(ck, dev)
         return g
 
     def _build(self, opts: _builder.BuildOptions, m=None, m0=None) -> BuildStats:
@@ -698,6 +704,8 @@ class Writer:
             header, vecb = decode_item(val)
             g.vectors[s] = codecs.vector_from_bytes(vecb, self._metric.codec)
             g.norms[s] = struct.unpack("<f", header)[0]
+        # staged rows must reach the device vector cache on the next build
+        g.mark_vectors_stale(insert_slots)
         delete_slots = np.asarray(
             [g.id_to_slot[int(i)] for i in to_delete if int(i) in g.id_to_slot],
             dtype=np.int64,

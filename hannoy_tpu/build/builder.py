@@ -21,6 +21,7 @@ Mapping to the reference call stack (SURVEY §3.1):
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable, Optional
 
 import jax
@@ -48,6 +49,12 @@ _WAVE_BUCKETS = (16, 128, 1024, 4096)
 #: a wave seeds the next only when it carried at least this many real
 #: items (sparser prototype sets measurably cost recall)
 _CHAIN_MIN_PREV = 1024
+#: insertion-order rank for "never a candidate" columns (later groups,
+#: deleted slots, table padding) in the triangular flat-candidate mask
+_ORDER_INF = np.int32(2**30)
+#: debug: fence after every wave so tracing spans attribute device time
+#: truthfully (async dispatch otherwise smears it into the next fence)
+_FENCE_WAVES = os.environ.get("HANNOY_TPU_FENCE_WAVES", "0") == "1"
 
 
 def _ramp_width(W: int, n_active: int, divisor: int = 4) -> int:
@@ -143,6 +150,23 @@ class BuildOptions:
     #: rank-truncated expansion is the main remaining throughput lever —
     #: see BENCH_NOTES.md for the measured recall trade.
     traverse: Optional[int] = None
+    #: routing layers (level >= 1) with at most this many members use
+    #: exact compact-table candidates (one [W, U] MXU matmul) instead of
+    #: beam searches — a layer holds ~N/M^level members, so level 1 of a
+    #: 1M build is ~62k rows and the matmul costs milliseconds where the
+    #: beam costs ~ef gather-bound hops. Candidates are exact kNN over
+    #: already-inserted members (triangular insertion-order visibility in
+    #: the bulk path — one wave per level group). 0 disables.
+    upper_flat_max: int = 65536
+    #: candidate-pool width for the flat routing-layer path (min'd with
+    #: the member count). The exact top-efc nearest are all near-field; a
+    #: beam's pool also carries trajectory waypoints whose long edges the
+    #: α-prune keeps for navigability — a wider exact pool restores that
+    #: ring diversity and then beats the beam on both axes (measured
+    #: 100k×768 cosine, same process: pool=efc 0.894 / pool=192 0.921 /
+    #: pool=384 0.932 recall@10 at ef=50 vs the beam path's 0.9285, at
+    #: 6.3 s vs 6.6 s steady).
+    upper_flat_pool: int = 384
     # ---- bulk (cluster-blocked) fresh-build path — see build/bulk.py ----
     #: None = auto (fresh dot-metric builds of >= bulk_threshold items);
     #: True forces it for any eligible fresh build; False disables.
@@ -329,6 +353,14 @@ def build_graph(
 
     slack = opts.link_slack
     dev = hnsw.to_device(g, link_slack=slack)
+    # the wave programs donate the whole DeviceGraph, which invalidates the
+    # device vector cache's handles mid-build — detach the key now and
+    # restore it with the final output graph at the end (an aborted build
+    # then leaves the cache empty rather than dangling)
+    dev_cache_key = g.dev_cache.take_key() if g.dev_cache is not None else None
+    if _FENCE_WAVES:
+        with span("to_device_drain"):
+            jax.block_until_ready(dev.vectors)
     dev = wave_ops._replace(dev, valid=jnp.asarray(active))
     # beam traversal during the build may seed/visit anything that exists
     # and is not deleted (see wave_ops.wave_insert_level node_ok)
@@ -346,6 +378,23 @@ def build_graph(
     dirty = jnp.zeros((g.capacity,), dtype=bool)
     counters = jnp.zeros((4,), dtype=jnp.int32)
     touched_host: set[int] = set()
+
+    # ---- compact member tables for routing-layer flat candidates ----
+    # level >= 1 membership is static per build (rows allocated up front in
+    # plan_build), so each small layer gets one padded slot table; waves at
+    # that layer take exact top-ef against it in one MXU matmul instead of
+    # running a gather-bound beam (see wave_ops.wave_insert_level
+    # flat_members). Padding snaps to powers of two to bound compiles.
+    flat_tabs: dict[int, jax.Array] = {}
+    flat_tabs_np: dict[int, np.ndarray] = {}
+    for level in range(1, g.max_level + 1):
+        mem = _layer_members(g, level)
+        if 0 < len(mem) <= opts.upper_flat_max:
+            pad = 1 << max(4, int(len(mem) - 1).bit_length())
+            tab = np.full(pad, -1, dtype=np.int32)
+            tab[: len(mem)] = mem
+            flat_tabs_np[level] = tab
+            flat_tabs[level] = jnp.asarray(tab)
 
     # ---- bulk cluster-blocked path for large fresh builds (bulk.py) ----
     use_bulk = bulk.eligible(g.metric, n_active, len(deleted_set), len(slots), opts)
@@ -372,8 +421,65 @@ def build_graph(
             bulk_top = 0
         upper = lvls > bulk_top
         n_up_active = 0
+        active_now = active.copy()  # host mirror of activation, per group
         for lv in sorted({int(x) for x in lvls[upper]}, reverse=True):
             grp = slots[lvls == lv]
+            tri = all(
+                level in flat_tabs for level in range(lv, bulk_top, -1)
+            )
+            if tri:
+                # One (row-chunked) wave carries the whole level group:
+                # candidate visibility is the host-computed insertion
+                # order (active members rank -1, group members their
+                # position), so earlier group items are exact-kNN
+                # candidates for later ones with no activation barrier —
+                # the ~log2 ramp's wave fleet collapses to
+                # ceil(|grp|/4096) dispatch groups. Measured (100k×768
+                # cosine steady build, trace_upper.py): the 22 ramped
+                # upper waves cost ~15 s of the 23 s total with a
+                # per-wave-fixed cost, identical for beam and flat
+                # candidates — wave count is the lever, not the
+                # candidate op.
+                w_pad = min(4096, 1 << max(4, int(len(grp) - 1).bit_length()))
+                slot_order = np.full(g.capacity, _ORDER_INF, dtype=np.int32)
+                slot_order[active_now] = -1
+                slot_order[grp.astype(np.int64)] = np.arange(
+                    len(grp), dtype=np.int32
+                )
+                orders = {
+                    level: jnp.asarray(
+                        np.where(
+                            flat_tabs_np[level] >= 0,
+                            slot_order[np.maximum(flat_tabs_np[level], 0)],
+                            _ORDER_INF,
+                        ).astype(np.int32)
+                    )
+                    for level in range(lv, bulk_top, -1)
+                }
+                start = 0
+                while start < len(grp):
+                    if opts.cancel():
+                        raise BuildCancelled()
+                    chunk = grp[start : start + w_pad]
+                    wave = np.full(w_pad, -1, dtype=np.int32)
+                    wave[: len(chunk)] = chunk
+                    with span("bulk_upper_tri", level=lv, width=w_pad, base=start):
+                        dev, dirty, counters = _insert_wave(
+                            dev, wave, lv, opts, n_up_active, node_ok, dirty,
+                            counters, g.m0, n_real=len(chunk),
+                            stop_level=bulk_top + 1, flat_tabs=flat_tabs,
+                            flat_orders=orders,
+                            flat_row_base=jnp.int32(start),
+                        )
+                    if _FENCE_WAVES:
+                        with span("tri_wave_drain", level=lv, base=start):
+                            jax.block_until_ready(counters)
+                    dev = wave_ops.activate_wave(dev, jnp.asarray(wave))
+                    start += len(chunk)
+                    n_up_active += len(chunk)
+                    stats.waves += 1
+                active_now[grp.astype(np.int64)] = True
+                continue
             start = 0
             while start < len(grp):
                 if opts.cancel():
@@ -392,11 +498,15 @@ def build_graph(
                     dev, dirty, counters = _insert_wave(
                         dev, wave, lv, opts, n_up_active, node_ok, dirty,
                         counters, g.m0, n_real=len(chunk),
-                        stop_level=bulk_top + 1,
+                        stop_level=bulk_top + 1, flat_tabs=flat_tabs,
                     )
+                if _FENCE_WAVES:
+                    with span("upper_wave_drain", level=lv, width=w_pad):
+                        jax.block_until_ready(counters)
                 dev = wave_ops.activate_wave(dev, jnp.asarray(wave))
                 n_up_active += len(chunk)
                 stats.waves += 1
+            active_now[grp.astype(np.int64)] = True
         # bulk layer 0 runs no beams; valid only feeds _ensure_inbound's
         # row reads, so all members go live at once
         dev = wave_ops._replace(dev, valid=node_ok)
@@ -418,6 +528,12 @@ def build_graph(
     if not use_bulk:
         for lv in sorted(set(int(x) for x in lvls), reverse=True):
             groups.append((lv, slots[lvls == lv]))
+
+    # already-inserted slot ids, tracked only inside the flat bootstrap —
+    # the level-0 flat candidate matmul runs against this compact table
+    # instead of the full [W, capacity] matrix (at 1M capacity the full
+    # matrix costs ~1.6 TFLOP per bootstrap wave for <= 1024 live columns)
+    active_ids = np.nonzero(active)[0].astype(np.int64)
 
     for lv, grp in groups:
         start = 0
@@ -451,6 +567,11 @@ def build_graph(
                 beam_iters = opts.refine_iters or max(
                     16, (opts.ef_construction + 16) // 2
                 )
+            flat0 = None
+            if n_active <= FLAT_BOOTSTRAP:
+                tab0 = np.full(FLAT_BOOTSTRAP, -1, dtype=np.int32)
+                tab0[: len(active_ids)] = active_ids[:FLAT_BOOTSTRAP]
+                flat0 = jnp.asarray(tab0)
             with span(
                 "insert_wave", level=lv, width=w_pad, active=n_active,
                 chained=int(seeds is not None),
@@ -459,10 +580,17 @@ def build_graph(
                     dev, wave, lv, opts, n_active, node_ok, dirty, counters,
                     g.m0, seeds=seeds, beam_iters=beam_iters,
                     n_real=len(chunk),
+                    flat_tabs=flat_tabs, flat0=flat0,
                 )
             dev = wave_ops.activate_wave(dev, wave_j)
             if lv == 0 and len(chunk) >= _CHAIN_MIN_PREV:
                 prev_wave = wave_j
+            if len(active_ids) <= FLAT_BOOTSTRAP:
+                # kept ascending so flat-candidate tie-breaking (top_k picks
+                # the first column) matches the legacy full-table flat scan
+                active_ids = np.sort(
+                    np.concatenate([active_ids, chunk.astype(np.int64)])
+                )
             n_active += len(chunk)
             done += len(chunk)
             stats.waves += 1
@@ -513,6 +641,12 @@ def build_graph(
     with span("sync_to_host"):
         hnsw.from_device(g, dev)
         dirty_np, counters_np = jax.device_get((dirty, counters))
+    if g.dev_cache is not None:
+        # re-point the cache at the final graph — the donated vectors alias
+        # straight through every wave program, and renumbered builds
+        # permute host and device rows identically (permute_device +
+        # permute_host_only), so the handles stay consistent
+        g.dev_cache.restore(dev_cache_key, dev)
     touched_host.update(np.nonzero(dirty_np)[0].tolist())
     touched_host -= deleted_set
     stats.links_added += int(
@@ -540,18 +674,39 @@ def _insert_wave(
     beam_iters: Optional[int] = None,
     n_real: Optional[int] = None,
     stop_level: int = 0,
+    flat_tabs: Optional[dict] = None,
+    flat0=None,
+    flat_orders: Optional[dict] = None,
+    flat_row_base=None,
 ):
     """Insert one wave: greedy descent to lv+1, then per-level beam +
     prune + connect, chaining each level's pruned set as the next level's
     seeds (hnsw.rs:291-328).
 
     ``seeds``/``beam_iters`` override the descent and the per-level beam
-    budget — the prototype-seeded refine path passes both."""
+    budget — the prototype-seeded refine path passes both. ``flat_tabs``
+    maps routing levels to compact member tables (exact MXU candidates,
+    see BuildOptions.upper_flat_max); ``flat0`` is the compact table for
+    the level-0 flat bootstrap. ``flat_orders``/``flat_row_base`` switch
+    the flat masks to triangular insertion-order visibility (one wave per
+    level group — see the bulk upper loop)."""
     wave_j = jnp.asarray(wave)
     use_flat = n_active <= FLAT_BOOTSTRAP
 
+    def _fm(level: int):
+        """Compact member table for exact flat candidates at ``level``."""
+        if level == 0:
+            return flat0 if use_flat else None
+        return flat_tabs.get(level) if flat_tabs is not None else None
+
+    # the greedy descent only seeds *beam* searches; skip its dispatches
+    # when every level this wave touches takes the exact flat path
+    needs_beam = not use_flat and any(
+        _fm(level) is None
+        for level in range(min(lv, dev.max_level), stop_level - 1, -1)
+    )
     if seeds is None:
-        if dev.max_level > lv and not use_flat:
+        if dev.max_level > lv and not use_flat and needs_beam:
             seeds = beam.descend_for_slots(dev, wave_j, dev.max_level, lv + 1)
         else:
             seeds = jnp.broadcast_to(
@@ -579,11 +734,14 @@ def _insert_wave(
     for level in range(min(lv, dev.max_level), stop_level - 1, -1):
         # logical caps: the device layer-0 table may be slack-widened
         cap = m0 if level == 0 else dev.upper_links.shape[-1]
+        fm = _fm(level)
         pre_ids = pre_d = None
-        if cancellable and not use_flat:
+        if cancellable and not use_flat and fm is None:
             # in-wave cancellation: the beam runs in host-probed chunks
             # instead of one fused device program (CANCELLATION_PROBING
-            # analogue — hnsw.rs:174-177); prune/connect stay fused
+            # analogue — hnsw.rs:174-177); prune/connect stay fused.
+            # flat-candidate levels skip this: their single dispatch is
+            # milliseconds, well inside the probing granularity
             pre_ids, pre_d, pre_iters = _chunked_candidates(
                 dev, wave_j, seeds, node_ok, level, opts, beam_iters, m0,
                 tail_allow=int(tail * tail_base) if level == 0 else 0,
@@ -598,16 +756,25 @@ def _insert_wave(
             dirty,
             counters,
             is_level0=(level == 0),
-            ef=opts.ef_construction,
+            ef=(
+                max(opts.ef_construction, opts.upper_flat_pool)
+                if fm is not None and level > 0
+                else opts.ef_construction
+            ),
             cap=cap,
             alpha=opts.alpha,
-            flat=use_flat,
+            flat=use_flat and fm is None,
             expand=opts.beam_expand,
             beam_iters=beam_iters,
             beam_tail_allow=int(tail * tail_base),
             traverse=opts.traverse,
             pre_ids=pre_ids,
             pre_d=pre_d,
+            flat_members=fm,
+            flat_col_order=(
+                flat_orders.get(level) if flat_orders is not None else None
+            ),
+            flat_row_base=flat_row_base,
         )
         seeds = selected
     return dev, dirty, counters

@@ -47,6 +47,55 @@ def slot_capacity(n: int) -> int:
 
 
 @dataclasses.dataclass
+class DeviceVecCache:
+    """Device-resident vector/norm handles, reused across builds and opens.
+
+    Vectors dominate the HBM upload (400 MB at 100k×768 f32) and never
+    change during a build, yet every ``to_device`` used to re-upload them
+    — and through a remote-attached chip the transfer path is
+    weather-dependent (the same 400 MB measured anywhere from 0.5 s to
+    15 s). The cache keeps the last uploaded handles, keyed by
+    (capacity, lane width, host dtype, storage tier), and applies row-wise
+    scatter updates for slots staged since the upload (``stale`` —
+    populated by ``HostGraph.mark_vectors_stale``).
+
+    Donation discipline: build programs donate the whole DeviceGraph,
+    which invalidates these handles mid-build. Callers that feed a
+    cache-backed DeviceGraph into donating programs must take the key via
+    ``take_key`` first (leaving the cache invalid) and ``restore`` it with
+    the final output graph — XLA aliases donated inputs through, so the
+    output handles hold the same bytes. An aborted build then leaves the
+    cache empty rather than dangling.
+    """
+
+    vectors: "jax.Array | None" = None
+    norms: "jax.Array | None" = None
+    key: tuple | None = None
+    stale: set = dataclasses.field(default_factory=set)
+
+    def invalidate(self) -> None:
+        self.vectors = None
+        self.norms = None
+        self.key = None
+        self.stale.clear()
+
+    def take_key(self) -> tuple | None:
+        """Detach before donating programs consume the handles."""
+        key = self.key
+        self.vectors = None
+        self.norms = None
+        self.key = None
+        return key
+
+    def restore(self, key: tuple | None, dev: "DeviceGraph") -> None:
+        """Re-point at the post-donation output graph (same bytes)."""
+        if key is not None:
+            self.key = key
+            self.vectors = dev.vectors
+            self.norms = dev.norms
+
+
+@dataclasses.dataclass
 class HostGraph:
     """Host-side (numpy) mirror of one index's graph.
 
@@ -74,6 +123,10 @@ class HostGraph:
     id_to_slot: dict[int, int] = dataclasses.field(default_factory=dict)
     free_slots: list[int] = dataclasses.field(default_factory=list)
     next_fresh: int = 0  # first never-allocated slot
+    #: device vector/norm cache, auto-attached by ``to_device`` (the host
+    #: graph is itself cached per (index, generation) by the API layer, so
+    #: the handles survive across builds and reader opens)
+    dev_cache: "DeviceVecCache | None" = None
 
     # -- construction ------------------------------------------------------
     @classmethod
@@ -121,6 +174,31 @@ class HostGraph:
     def valid_mask(self) -> np.ndarray:
         return self.levels >= 0
 
+    def mark_vectors_stale(self, slots) -> None:
+        """Record host-side vector/norm writes so the device cache can
+        scatter-update just these rows on the next ``to_device``. Callers
+        that write ``g.vectors`` / ``g.norms`` after a ``to_device`` MUST
+        call this (the staging paths in api.py / sharded.py do)."""
+        if self.dev_cache is not None and self.dev_cache.key is not None:
+            arr = np.atleast_1d(np.asarray(slots)).ravel()
+            self.dev_cache.stale.update(int(s) for s in arr)
+
+    def reset_links(self) -> None:
+        """Drop all link state, keeping staged items — the next build
+        relinks every live item (``force_rebuild`` analogue,
+        writer.rs:610-638). The device vector cache survives: vectors are
+        untouched, which is what makes a rebuild cheaper than a cold
+        build on remote-attached chips."""
+        self.links0.fill(-1)
+        self.dists0.fill(np.inf)
+        self.upper_links = []
+        self.upper_dists = []
+        self.slot_rows = []
+        self.upper_row_count = []
+        self.entry_slots = []
+        self.max_level = 0
+        self.levels[self.levels >= 0] = 0
+
     # -- slot management ---------------------------------------------------
     def grow(self, min_capacity: int) -> None:
         new_cap = slot_capacity(min_capacity)
@@ -139,6 +217,8 @@ class HostGraph:
         self.links0 = pad(self.links0, -1)
         self.dists0 = pad(self.dists0, np.inf)
         self.slot_rows = [pad(sr, -1) for sr in self.slot_rows]
+        if self.dev_cache is not None:
+            self.dev_cache.invalidate()  # capacity key changed anyway
 
     def alloc_slot(self, item_id: int) -> int:
         existing = self.id_to_slot.get(item_id)
@@ -153,6 +233,10 @@ class HostGraph:
             self.next_fresh += 1
         self.ids[slot] = item_id
         self.id_to_slot[item_id] = slot
+        # allocations precede vector writes everywhere (api staging, the
+        # sharded/host builders, tests) — marking here keeps the device
+        # vector cache safe even for writers that bypass the api staging
+        self.mark_vectors_stale(slot)
         return slot
 
     def release_slot(self, slot: int) -> None:
@@ -262,6 +346,8 @@ class HostGraph:
         self.levels = self.levels[perm]
         self.vectors = self.vectors[perm]
         self.norms = self.norms[perm]
+        if self.dev_cache is not None:
+            self.dev_cache.invalidate()  # slot order changed
         for l in range(len(self.slot_rows)):
             self.slot_rows[l] = self.slot_rows[l][perm]
         self.entry_slots = [int(inv[e]) for e in self.entry_slots]
@@ -578,7 +664,8 @@ def ep_pad(n: int) -> int:
 
 
 def to_device(
-    g: HostGraph, max_entry_points: int | None = None, link_slack: int = 0
+    g: HostGraph, max_entry_points: int | None = None, link_slack: int = 0,
+    cache: bool = True,
 ) -> DeviceGraph:
     """Upload a host graph into HBM arrays (the Reader::open / prefetch
     analogue — reference reader.rs:446-543 madvises pages; we materialise
@@ -587,6 +674,12 @@ def to_device(
     ``link_slack``: extra layer-0 link columns for build-time overflow
     deferral (see wave_ops.prune_slack_rows) — the physical table becomes
     ``[N_pad, M0 + slack]``; host rows land in the first M0 columns.
+
+    ``cache``: reuse / populate the graph's ``DeviceVecCache`` so repeat
+    uploads skip the dominant vector transfer (False for transient
+    uploads, e.g. per-shard staging that immediately restacks — holding
+    those handles would just pin HBM). Env kill-switch:
+    HANNOY_TPU_DEV_CACHE=0.
 
     HBM storage tiers (the single-chip capacity story — the reference
     serves datasets ≫ RAM via LMDB paging, reader.rs:446-543; here the
@@ -624,9 +717,8 @@ def to_device(
     eps[:k] = np.asarray(g.entry_slots[:k], dtype=np.int32)
     import os as _os
 
-    vecs = g.vectors
-    norms_host = g.norms
     if not g.metric.is_packed and _os.environ.get("HANNOY_TPU_INT8") == "1":
+        tier = "int8"
         if g.metric.name != "cosine":
             from ..errors import InvalidConfig
 
@@ -635,16 +727,55 @@ def to_device(
                 "(euclidean/manhattan need absolute magnitudes; packed "
                 "metrics are already 32x compressed)"
             )
-        mags = np.linalg.norm(vecs, axis=-1, keepdims=True)
-        unit = np.divide(vecs, mags, out=np.zeros_like(vecs), where=mags > 1e-30)
-        vectors_dev = jnp.asarray(np.clip(np.rint(127.0 * unit), -127, 127).astype(np.int8))
-        # norm header: |stored| = 127 for live rows (0 rows keep 0 so the
-        # cosine eps guard still returns distance 0.0, cosine.rs:40-56)
-        norms_host = np.where(mags[:, 0] > 1e-30, np.float32(127.0), np.float32(0.0))
     elif not g.metric.is_packed and _os.environ.get("HANNOY_TPU_BF16") == "1":
-        vectors_dev = jnp.asarray(vecs).astype(jnp.bfloat16)
+        tier = "bf16"
     else:
-        vectors_dev = jnp.asarray(vecs)
+        tier = "raw"
+
+    def encode(vecs: np.ndarray, norms_host: np.ndarray):
+        """Host rows → (device vectors, device norms) for the tier."""
+        if tier == "int8":
+            mags = np.linalg.norm(vecs, axis=-1, keepdims=True)
+            unit = np.divide(vecs, mags, out=np.zeros_like(vecs), where=mags > 1e-30)
+            v = jnp.asarray(np.clip(np.rint(127.0 * unit), -127, 127).astype(np.int8))
+            # norm header: |stored| = 127 for live rows (0 rows keep 0 so
+            # the cosine eps guard still returns distance 0.0,
+            # cosine.rs:40-56)
+            n = jnp.asarray(
+                np.where(mags[:, 0] > 1e-30, np.float32(127.0), np.float32(0.0))
+            )
+        elif tier == "bf16":
+            v = jnp.asarray(vecs).astype(jnp.bfloat16)
+            n = jnp.asarray(norms_host)
+        else:
+            v = jnp.asarray(vecs)
+            n = jnp.asarray(norms_host)
+        return v, n
+
+    use_cache = cache and _os.environ.get("HANNOY_TPU_DEV_CACHE", "1") == "1"
+    cache = g.dev_cache
+    if cache is None and use_cache:
+        cache = g.dev_cache = DeviceVecCache()
+    elif not use_cache:
+        cache = None
+    cache_key = (g.capacity, g.vectors.shape[-1], str(g.vectors.dtype), tier)
+    if cache is not None and cache.key == cache_key and cache.vectors is not None:
+        if cache.stale:
+            rows = np.fromiter(cache.stale, dtype=np.int64)
+            rows.sort()
+            v_rows, n_rows = encode(g.vectors[rows], g.norms[rows])
+            idx = jnp.asarray(rows.astype(np.int32))
+            cache.vectors = cache.vectors.at[idx].set(v_rows)
+            cache.norms = cache.norms.at[idx].set(n_rows)
+            cache.stale.clear()
+        vectors_dev, norms_dev = cache.vectors, cache.norms
+    else:
+        vectors_dev, norms_dev = encode(g.vectors, g.norms)
+        if cache is not None:
+            cache.key = cache_key
+            cache.vectors = vectors_dev
+            cache.norms = norms_dev
+            cache.stale.clear()
     links0_h, dists0_h = g.links0, g.dists0
     if link_slack:
         links0_h = np.concatenate(
@@ -655,7 +786,7 @@ def to_device(
         )
     return DeviceGraph(
         vectors=vectors_dev,
-        norms=jnp.asarray(norms_host),
+        norms=norms_dev,
         links0=jnp.asarray(links0_h),
         dists0=jnp.asarray(dists0_h),
         upper_links=jnp.asarray(up),

@@ -58,7 +58,9 @@ class ShardedIndex:
         the sharded builder guarantees this) and lay them over the mesh."""
         mesh = mesh or make_mesh(len(graphs))
         max_level = max(g.max_level for g in graphs)
-        devs = [to_device(g, link_slack=link_slack) for g in graphs]
+        # transient uploads (immediately restacked host-side) — don't pin
+        # HBM with per-shard vector caches
+        devs = [to_device(g, link_slack=link_slack, cache=False) for g in graphs]
         cap_u = max(d.upper_links.shape[1] for d in devs) if max_level else 1
         m = graphs[0].m
 

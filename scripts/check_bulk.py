@@ -12,9 +12,10 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import jax
+if __name__ == "__main__":  # importable on any backend (check_upper_flat)
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
