@@ -43,6 +43,13 @@ CNT_BEAM_ITERS = 2
 CNT_ROW_GATHERS = 3  # unit: 1024 gathered rows
 GATHER_GRANULE = 1024
 
+#: member-table width above which the flat routing-layer candidate
+#: selection switches from lax.top_k to approx_max_k (measured 18.2 ms
+#: vs 4.3 ms at [4096, 8192] on v5e); env-tunable for A/B diagnostics
+_FLAT_APPROX_MIN_U = int(
+    __import__("os").environ.get("HANNOY_TPU_FLAT_APPROX_MIN_U", 8192)
+)
+
 
 def _scatter_rows(
     table: jax.Array,  # [R, cap]
@@ -214,7 +221,7 @@ def wave_insert_level(
             ok_col = ((flat_members >= 0) & g.valid[jnp.maximum(flat_members, 0)])[None, :]
         d_mat = jnp.where(ok_col, d_mat, INF)
         k = min(ef, flat_members.shape[0])
-        if flat_members.shape[0] > 8192:
+        if flat_members.shape[0] > _FLAT_APPROX_MIN_U:
             # lax.top_k over wide member tables dominates the dispatch
             # (measured 18.2 ms vs 4.3 ms at [4096, 8192] on v5e);
             # approx_max_k's binned reduction is deterministic and its

@@ -58,8 +58,10 @@ def main():
         g.norms[:n] = norms
         return g
 
-    pool = int(os.environ.get("UF_POOL", 192))
-    for label, ufm in (("flat-upper", 65536), ("beam-upper", 0)):
+    pool = int(os.environ.get("UF_POOL", 384))
+    variants = os.environ.get("UF_VARIANTS", "flat,beam").split(",")
+    pairs = [("flat-upper", 65536), ("beam-upper", 0)]
+    for label, ufm in [p for p in pairs if p[0].split("-")[0] in variants]:
         kw = dict(
             ef_construction=efc, wave_size=wave, upper_flat_max=ufm,
             upper_flat_pool=pool,
