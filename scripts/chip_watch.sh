@@ -15,7 +15,7 @@ while true; do
 import jax, jax.numpy as jnp
 d = jax.devices()
 y = jax.device_get(jnp.dot(jnp.ones((256,256)), jnp.ones((256,256))).sum())
-assert float(y) == 256.0 * 256
+assert float(y) == 256.0**3  # ones-matmul: each entry 256, 256*256 entries
 print("CHIP UP", d, flush=True)
 EOF
   then
