@@ -687,11 +687,14 @@ def to_device(
 
     * HANNOY_TPU_BF16=1 — bfloat16 rows, 2× capacity, recall unchanged
       (measured at 100k: 0.979 vs 0.976). Any f32 metric.
-    * HANNOY_TPU_INT8=1 — int8 rows, 4× capacity, **cosine only**: rows
-      are unit-normalized then quantized to ``round(127·v/|v|)`` with the
-      127 scale folded into the norm header, so the distance formulas are
-      unchanged and no per-row scale array is needed. ~16 GB HBM holds
-      ~5M×768d f32, ~10M bf16, ~20M int8 (links0 at M0=32 adds 128 B/row).
+    * HANNOY_TPU_INT8=1 — int8 rows, 4× capacity, any f32 metric. Cosine
+      stores ``round(127·v/|v|)`` with the constant 127 folded into the
+      norm header (the scale cancels in cos, so formulas are unchanged);
+      euclidean/manhattan store ``round(127·v/max|v_i|)`` with the true
+      per-row scale ``max|v_i|/127`` in the header (the reference's unused
+      ``bias`` slot, euclidean.rs:30-49) and dequantize after each gather
+      (``distances._deq``). ~16 GB HBM holds ~5M×768d f32, ~10M bf16,
+      ~20M int8 (links0 at M0=32 adds 128 B/row).
 
     The host/store copy stays f32, so persisted data is unaffected.
     """
@@ -719,14 +722,6 @@ def to_device(
 
     if not g.metric.is_packed and _os.environ.get("HANNOY_TPU_INT8") == "1":
         tier = "int8"
-        if g.metric.name != "cosine":
-            from ..errors import InvalidConfig
-
-            raise InvalidConfig(
-                "HANNOY_TPU_INT8 storage supports the cosine metric only "
-                "(euclidean/manhattan need absolute magnitudes; packed "
-                "metrics are already 32x compressed)"
-            )
     elif not g.metric.is_packed and _os.environ.get("HANNOY_TPU_BF16") == "1":
         tier = "bf16"
     else:
@@ -734,7 +729,7 @@ def to_device(
 
     def encode(vecs: np.ndarray, norms_host: np.ndarray):
         """Host rows → (device vectors, device norms) for the tier."""
-        if tier == "int8":
+        if tier == "int8" and g.metric.name == "cosine":
             mags = np.linalg.norm(vecs, axis=-1, keepdims=True)
             unit = np.divide(vecs, mags, out=np.zeros_like(vecs), where=mags > 1e-30)
             v = jnp.asarray(np.clip(np.rint(127.0 * unit), -127, 127).astype(np.int8))
@@ -743,6 +738,22 @@ def to_device(
             # cosine.rs:40-56)
             n = jnp.asarray(
                 np.where(mags[:, 0] > 1e-30, np.float32(127.0), np.float32(0.0))
+            )
+        elif tier == "int8":
+            # euclidean/manhattan: per-row max-abs scale in the norm header
+            # (cosine's unit trick generalizes with one extra f32 — the
+            # header slot was the reference's unused ``bias``,
+            # euclidean.rs:30-49). Stored row = round(127·v/s); every
+            # distance path dequantizes via ``distances._deq``.
+            mags = np.abs(vecs).max(axis=-1, keepdims=True)
+            scaled = np.divide(
+                vecs, mags, out=np.zeros_like(vecs), where=mags > 1e-30
+            )
+            v = jnp.asarray(np.clip(np.rint(127.0 * scaled), -127, 127).astype(np.int8))
+            n = jnp.asarray(
+                np.where(mags[:, 0] > 1e-30, mags[:, 0] / np.float32(127.0), 0.0).astype(
+                    np.float32
+                )
             )
         elif tier == "bf16":
             v = jnp.asarray(vecs).astype(jnp.bfloat16)

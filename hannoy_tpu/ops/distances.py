@@ -155,6 +155,16 @@ def np_pairwise(
 # --------------------------------------------------------------------------
 
 
+def _deq(rows: jax.Array, scale: jax.Array) -> jax.Array:
+    """int8 capacity-tier rows → f32 via the per-row scale stored in the
+    norm header (euclidean/manhattan int8 tier — models.hnsw.to_device).
+    Other dtypes pass through unchanged; f32 queries carry scale 0 and
+    never reach here as int8."""
+    if rows.dtype == jnp.int8:
+        return rows.astype(jnp.float32) * scale[..., None]
+    return rows
+
+
 def gathered_distances(
     metric: Metric,
     q: jax.Array,  # [B, D*] queries (packed lanes for packed codecs)
@@ -171,13 +181,18 @@ def gathered_distances(
     Rows may arrive as bfloat16 (the opt-in HBM storage dtype — halves the
     gather bandwidth of the hot loop): dot metrics run the MXU's native
     bf16×bf16→f32; the subtractive metrics upcast after the gather so the
-    cancellation-sensitive arithmetic stays f32. int8 rows (the 4× cosine
-    capacity tier, see models.hnsw.to_device) dequantize after the gather —
-    the 127 scale already lives in the norm header.
+    cancellation-sensitive arithmetic stays f32. int8 rows (the 4×
+    capacity tier, see models.hnsw.to_device) dequantize after the
+    gather: cosine folds the 127 scale into the norm header (it cancels in
+    cos), euclidean/manhattan carry a true per-row scale there.
     """
     name = metric.name
     if c.dtype == jnp.int8:
-        c = c.astype(jnp.float32)
+        if name == "cosine":
+            c = c.astype(jnp.float32)
+        else:
+            q = _deq(q, q_norm)
+            c = _deq(c, c_norm)
     bf16 = c.dtype == jnp.bfloat16
     if name == "cosine":
         qq = q.astype(c.dtype)
@@ -214,7 +229,11 @@ def matrix_distances(
     """
     name = metric.name
     if db.dtype == jnp.int8:
-        db = db.astype(jnp.float32)
+        if name == "cosine":
+            db = db.astype(jnp.float32)
+        else:
+            q = _deq(q, q_norm)
+            db = _deq(db, db_norm)
     bf16 = db.dtype == jnp.bfloat16
     prec = None if bf16 else MATMUL_PRECISION
     if name == "cosine":
@@ -314,7 +333,11 @@ def block_distances(
             name, pc, d_pad, q_norm[:, :, None] * c_norm[:, None, :]
         )
     if c.dtype == jnp.int8:
-        c = c.astype(jnp.float32)
+        if name == "cosine":
+            c = c.astype(jnp.float32)
+        else:
+            q = _deq(q, q_norm)
+            c = _deq(c, c_norm)
     bf16 = c.dtype == jnp.bfloat16
     prec = None if bf16 else MATMUL_PRECISION
     if name == "cosine":

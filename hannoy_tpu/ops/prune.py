@@ -33,7 +33,11 @@ def pairwise_block(
     """All-pairs distances within each row's candidate set → [B, K, K]."""
     name = metric.name
     if vecs.dtype == jnp.int8:
-        vecs = vecs.astype(jnp.float32)
+        if name == "cosine":
+            vecs = vecs.astype(jnp.float32)
+        else:
+            # euclidean/manhattan int8 tier: norms carry per-row scales
+            vecs = distances._deq(vecs, norms)
     bf16 = vecs.dtype == jnp.bfloat16
     prec = None if bf16 else distances.MATMUL_PRECISION
     if name == "cosine":
