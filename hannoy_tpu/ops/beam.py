@@ -29,6 +29,7 @@ compilation serves any batch of queries at fixed (ef, M0, D).
 
 from __future__ import annotations
 
+import os as _os
 from functools import partial
 from typing import NamedTuple, Optional
 
@@ -103,22 +104,38 @@ def greedy_descend(
     from_level: int,
     to_level: int,
     max_steps_per_level: int = 128,
+    node_ok: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Descend layers ``from_level .. to_level`` (inclusive, both >= 1)
     greedily; returns the best slot per query → [B].
 
     Seeds at the entry points (all of them — distances computed once, best
     taken, matching the multi-ep seeding of hnsw.rs:474-481 with ef=1).
-    """
+
+    ``node_ok`` (default ``g.valid``) gates which slots the walk may
+    *settle on*: the returned slot feeds ``_seed_pool``, which drops
+    seeds failing the same mask — an unmasked walk that landed on a
+    deleted slot therefore produced an EMPTY beam pool, and the wave
+    went on to write an empty forward row for that item (found round 4:
+    11/24 incremental inserts into a 4k graph with 50 deletes in the
+    same txn ended with out-degree 0 because their descents all settled
+    on one deleted near-origin hub). The reference never has this
+    problem because its walk reads links only of visitable nodes
+    (hnsw.rs:498-501 skips deleted)."""
     metric = g.metric
+    if node_ok is None:
+        node_ok = g.valid
     eps = jnp.broadcast_to(g.entry_slots[None, :], (q.shape[0], g.entry_slots.shape[0]))
     d = seed_distances(metric, g.vectors, g.norms, q, qn, eps)
+    d = jnp.where(node_ok[jnp.maximum(eps, 0)] & (eps >= 0), d, INF)
     best = jnp.argmin(d, axis=-1)
     cur = jnp.take_along_axis(eps, best[:, None], axis=-1)[:, 0]
     cur_d = jnp.take_along_axis(d, best[:, None], axis=-1)[:, 0]
 
     for level in range(from_level, to_level - 1, -1):
-        cur, cur_d = _greedy_level(g, q, qn, cur, cur_d, level, max_steps_per_level)
+        cur, cur_d = _greedy_level(
+            g, q, qn, cur, cur_d, level, max_steps_per_level, node_ok
+        )
     return cur
 
 
@@ -130,6 +147,7 @@ def _greedy_level(
     cur_d: jax.Array,
     level: int,
     max_steps: int,
+    node_ok: jax.Array,
 ) -> tuple[jax.Array, jax.Array]:
     metric = g.metric
     l = level - 1  # row into stacked upper tables (may be traced)
@@ -138,7 +156,12 @@ def _greedy_level(
         cur, cur_d, _, it = state
         rows = jnp.take(g.slot_rows, l, axis=0)[jnp.maximum(cur, 0)]
         nbs = jnp.take(g.upper_links, l, axis=0)[jnp.maximum(rows, 0)]  # [B, M]
-        nb_valid = (nbs >= 0) & (rows >= 0)[:, None] & (cur >= 0)[:, None]
+        nb_valid = (
+            (nbs >= 0)
+            & (rows >= 0)[:, None]
+            & (cur >= 0)[:, None]
+            & node_ok[jnp.maximum(nbs, 0)]
+        )
         d = candidate_distances(g, q, qn, nbs)
         d = jnp.where(nb_valid, d, INF)
         best = jnp.argmin(d, axis=-1)
@@ -168,15 +191,21 @@ def descend_for_slots(
     from_level: int,
     to_level: int,
     max_steps_per_level: int = 128,
+    node_ok: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Jitted greedy descent for a wave of *stored* items: gathers their
     vectors and walks layers ``from_level..to_level`` → seed slots [W, 1].
+
+    ``node_ok``: builders MUST pass their exists-and-not-deleted mask —
+    the returned seed feeds ``_seed_pool`` under the same mask, so a
+    descent that settles on a deleted slot yields an empty construction
+    beam and an empty forward row (see ``greedy_descend``).
 
     (Builders must not call ``greedy_descend`` eagerly — op-by-op dispatch
     to the TPU costs ~ms per hop through the remote runtime.)"""
     q = g.vectors[jnp.maximum(wave_slots, 0)]
     qn = g.norms[jnp.maximum(wave_slots, 0)]
-    ep = greedy_descend(g, q, qn, from_level, to_level, max_steps_per_level)
+    ep = greedy_descend(g, q, qn, from_level, to_level, max_steps_per_level, node_ok)
     return ep[:, None]
 
 
@@ -446,35 +475,81 @@ def _filtered_step(g, q, qn, node_ok, candidate_mask, ef: int, max_iters: int):
 # --------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("ef", "max_iters"))
+def default_ef_upper(n_valid: int, ef: int) -> int:
+    """Auto width for the pooled layer-1 descent (``_descend_start``).
+
+    Tiny graphs keep the reference's greedy ef=1 walk (layer 1 is nearly
+    empty and a pooled beam only adds a dispatch). Larger clustered
+    datasets need seed diversity — at 1M×768
+    the greedy seed lands in the true top-100 for only ~55% of queries;
+    32 pooled layer-1 seeds took recall@10 0.73 → 0.995 at ef=50 AND
+    raised QPS 5456 → 6850 — better seeds converge the layer-0 beam in
+    fewer whole-batch iterations (round-4 chip sweep,
+    scripts/sweep_ef_upper.py, benchmarks/logs/sweep_efu_1m.log).
+    Overridable per query via ``QueryBuilder.ef_upper`` and globally via
+    HANNOY_TPU_EF_UPPER."""
+    env = _os.environ.get("HANNOY_TPU_EF_UPPER")
+    if env is not None:
+        return max(1, int(env))
+    if n_valid >= 500_000:
+        return max(1, min(32, ef))  # 1M: 0.73→0.995 r@10, 5456→6850 qps @ef50
+    if n_valid >= 16_384:
+        return max(1, min(8, ef))  # 100k: 0.976→0.996 r@10, 5101→9915 qps @ef50
+    return 1
+
+
+def _descend_start(
+    g: DeviceGraph, q: jax.Array, qn: jax.Array, ef_upper: int = 1
+) -> jax.Array:
+    """Layer-0 seed slots → [B, S] (trace-time helper, callers jit).
+
+    ``ef_upper == 1`` reproduces the reference's greedy ef=1 descent
+    (reader.rs:722-760 walk_layer loop). ``ef_upper > 1`` keeps a pooled
+    beam at layer 1 after the greedy walk through layers L..2: on
+    clustered data one greedy descent lands in a wrong basin for ~45% of
+    queries at 1M×768 (round-4 bisect: seed in exact top-100 for only
+    0.55 of queries, while recall with oracle seeds was 1.0 vs 0.93
+    search) and the layer-0 beam cannot always escape, because in high
+    dimension there is no distance gradient between well-separated wrong
+    clusters. S diverse layer-1 minima cover the true basin instead; the
+    extra cost is confined to the ~N/M-member layer 1."""
+    if g.max_level < 1:
+        return jnp.broadcast_to(
+            g.entry_slots[None, :], (q.shape[0], g.entry_slots.shape[0])
+        )
+    if ef_upper <= 1:
+        return greedy_descend(g, q, qn, g.max_level, 1)[:, None]
+    if g.max_level >= 2:
+        start = greedy_descend(g, q, qn, g.max_level, 2)[:, None]
+    else:
+        start = jnp.broadcast_to(
+            g.entry_slots[None, :], (q.shape[0], g.entry_slots.shape[0])
+        )
+    return beam_search(g, q, qn, start, ef_upper, level=1).slots
+
+
+@partial(jax.jit, static_argnames=("ef", "max_iters", "ef_upper"))
 def hnsw_search(
     g: DeviceGraph,
     q: jax.Array,  # [B, D*]
     qn: jax.Array,  # [B]
     ef: int,
     max_iters: Optional[int] = None,
+    ef_upper: int = 1,
 ) -> BeamResult:
     """Greedy descent from the entry points through layers L..1, then an
-    ef-wide layer-0 beam (reference hnsw_search, reader.rs:722-800)."""
-    if g.max_level >= 1:
-        ep = greedy_descend(g, q, qn, g.max_level, 1)
-        start = ep[:, None]
-    else:
-        start = jnp.broadcast_to(
-            g.entry_slots[None, :], (q.shape[0], g.entry_slots.shape[0])
-        )
+    ef-wide layer-0 beam (reference hnsw_search, reader.rs:722-800).
+    ``ef_upper``: see ``_descend_start``."""
+    start = _descend_start(g, q, qn, ef_upper)
     return beam_search(g, q, qn, start, ef, max_iters)
 
 
-@partial(jax.jit, static_argnames=("ef",))
-def _descend_and_seed(g: DeviceGraph, q: jax.Array, qn: jax.Array, ef: int):
+@partial(jax.jit, static_argnames=("ef", "ef_upper"))
+def _descend_and_seed(
+    g: DeviceGraph, q: jax.Array, qn: jax.Array, ef: int, ef_upper: int = 1
+):
     """Greedy descent → initial layer-0 beam pool (the resumable carry)."""
-    if g.max_level >= 1:
-        start = greedy_descend(g, q, qn, g.max_level, 1)[:, None]
-    else:
-        start = jnp.broadcast_to(
-            g.entry_slots[None, :], (q.shape[0], g.entry_slots.shape[0])
-        )
+    start = _descend_start(g, q, qn, ef_upper)
     return _seed_pool(g, q, qn, start, ef, g.valid)
 
 
@@ -566,6 +641,7 @@ def hnsw_search_cancellable(
     cancel_fn,
     max_iters: Optional[int] = None,
     chunk: int = 16,
+    ef_upper: int = 1,
 ) -> tuple[BeamResult, bool]:
     """hnsw_search with mid-flight cooperative cancellation.
 
@@ -582,7 +658,7 @@ def hnsw_search_cancellable(
             jnp.full((B, ef), INF), jnp.full((B, ef), NO_ID, dtype=jnp.int32), jnp.int32(0)
         )
         return empty, True
-    pool_d, pool_id, pool_exp = _descend_and_seed(g, q, qn, ef)
+    pool_d, pool_id, pool_exp = _descend_and_seed(g, q, qn, ef, ef_upper)
     total = 0
     while total < max_iters:
         if cancel_fn():
@@ -597,17 +673,19 @@ def hnsw_search_cancellable(
     return BeamResult(pool_d, pool_id, jnp.int32(total)), bool(cancel_fn())
 
 
-@partial(jax.jit, static_argnames=("ef",))
+@partial(jax.jit, static_argnames=("ef", "ef_upper"))
 def _filtered_descend_and_seed(
-    g: DeviceGraph, q: jax.Array, qn: jax.Array, candidate_mask: jax.Array, ef: int
+    g: DeviceGraph,
+    q: jax.Array,
+    qn: jax.Array,
+    candidate_mask: jax.Array,
+    ef: int,
+    ef_upper: int = 1,
 ):
-    """Greedy descent → initial filtered pools (the resumable carry)."""
-    if g.max_level >= 1:
-        start = greedy_descend(g, q, qn, g.max_level, 1)[:, None]
-    else:
-        start = jnp.broadcast_to(
-            g.entry_slots[None, :], (q.shape[0], g.entry_slots.shape[0])
-        )
+    """Greedy descent → initial filtered pools (the resumable carry).
+    The descent ignores the candidate mask (upper layers route, they do
+    not filter — reference reader.rs:739-752 walks unfiltered layers)."""
+    start = _descend_start(g, q, qn, ef_upper)
     return _filtered_seed_pools(g, q, qn, start, candidate_mask, g.valid, ef)
 
 
@@ -640,6 +718,7 @@ def hnsw_search_filtered_cancellable(
     cancel_fn,
     max_iters: Optional[int] = None,
     chunk: int = 16,
+    ef_upper: int = 1,
 ) -> tuple[BeamResult, bool]:
     """Filtered search with mid-flight cooperative cancellation — the
     candidates-bitmap analogue of ``hnsw_search_cancellable`` (round 2
@@ -655,7 +734,7 @@ def hnsw_search_filtered_cancellable(
         )
         return empty, True
     fr_d, fr_id, fr_exp, res_d, res_id, _ = _filtered_descend_and_seed(
-        g, q, qn, candidate_mask, ef
+        g, q, qn, candidate_mask, ef, ef_upper
     )
     total = 0
     while total < max_iters:
@@ -671,7 +750,7 @@ def hnsw_search_filtered_cancellable(
     return BeamResult(res_d, res_id, jnp.int32(total)), bool(cancel_fn())
 
 
-@partial(jax.jit, static_argnames=("ef", "max_iters"))
+@partial(jax.jit, static_argnames=("ef", "max_iters", "ef_upper"))
 def hnsw_search_filtered(
     g: DeviceGraph,
     q: jax.Array,
@@ -679,12 +758,7 @@ def hnsw_search_filtered(
     candidate_mask: jax.Array,
     ef: int,
     max_iters: Optional[int] = None,
+    ef_upper: int = 1,
 ) -> BeamResult:
-    if g.max_level >= 1:
-        ep = greedy_descend(g, q, qn, g.max_level, 1)
-        start = ep[:, None]
-    else:
-        start = jnp.broadcast_to(
-            g.entry_slots[None, :], (q.shape[0], g.entry_slots.shape[0])
-        )
+    start = _descend_start(g, q, qn, ef_upper)
     return beam_search_filtered(g, q, qn, start, ef, candidate_mask, max_iters)

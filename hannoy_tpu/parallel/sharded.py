@@ -124,8 +124,10 @@ class ShardedIndex:
         norms = distances.np_norms(metric, packed)
         q = jnp.asarray(packed)
         qn = jnp.asarray(norms)
+        n_local = int(np.asarray((self.ids != np.uint32(INVALID_ID)).sum(axis=1)).max())
         ids, d = _sharded_search(
-            self.mesh, self.metric_name, self.max_level, self.arrays, self.ids, q, qn, k=k, ef=ef
+            self.mesh, self.metric_name, self.max_level, self.arrays, self.ids, q, qn, k=k, ef=ef,
+            ef_upper=beam.default_ef_upper(n_local, ef),
         )
         ids, d = np.array(ids), np.array(d)  # copies: rows mutated below
         n_items = int(np.asarray((self.ids != np.uint32(INVALID_ID)).sum()))
@@ -147,7 +149,7 @@ class ShardedIndex:
         return ids, d
 
 
-@partial(jax.jit, static_argnames=("mesh", "metric_name", "max_level", "k", "ef"))
+@partial(jax.jit, static_argnames=("mesh", "metric_name", "max_level", "k", "ef", "ef_upper"))
 def _sharded_search(
     mesh: Mesh,
     metric_name: str,
@@ -158,12 +160,13 @@ def _sharded_search(
     qn: jax.Array,
     k: int,
     ef: int,
+    ef_upper: int = 1,
 ):
     spec_arrays = {name: P(SHARD_AXIS) for name in arrays}
 
     def per_shard(arrays, ids_local, q, qn):
         g = _local_graph(arrays, metric_name, max_level)
-        res = beam.hnsw_search(g, q, qn, ef)
+        res = beam.hnsw_search(g, q, qn, ef, ef_upper=ef_upper)
         top_d = res.dists[:, :k]
         top_slots = res.slots[:, :k]
         gids = ids_local[0][jnp.maximum(top_slots, 0)]
@@ -470,7 +473,7 @@ def _sharded_insert_wave_jit(
         w = waves[0]
         ok = ok[0]
         if max_level > lv and not flat:
-            seeds = beam.descend_for_slots(g, w, max_level, lv + 1)
+            seeds = beam.descend_for_slots(g, w, max_level, lv + 1, node_ok=ok)
         else:
             seeds = jnp.broadcast_to(
                 g.entry_slots[None, :], (w.shape[0], g.entry_slots.shape[0])

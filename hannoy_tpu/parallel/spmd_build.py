@@ -248,7 +248,7 @@ def _spmd_insert_wave_jit(
         ok = ok[0]
         dirty = dirty[0]
         if max_level > lv and not flat:
-            seeds = beam.descend_for_slots(g, w, max_level, lv + 1)
+            seeds = beam.descend_for_slots(g, w, max_level, lv + 1, node_ok=ok)
         else:
             seeds = jnp.broadcast_to(
                 g.entry_slots[None, :], (w.shape[0], g.entry_slots.shape[0])
