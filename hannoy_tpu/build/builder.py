@@ -182,6 +182,13 @@ class BuildOptions:
     bulk_cluster_size: int = 512
     bulk_kmeans_iters: int = 3
     bulk_adj: int = 8
+    #: centroid init: "maxmin" (furthest-point over a member sample —
+    #: covers every natural data component before Lloyd refines; fixes
+    #: the 1M×768 candidate-recall collapse where random init left ~60%
+    #: of components centroid-less and they shattered across
+    #: near-equidistant foreign clusters) or "random" (round-3 behavior)
+    bulk_init: str = "maxmin"
+    bulk_init_sample: int = 131072
     #: random long-edge candidates per item (NSW wiring — the α-prune
     #: keeps the uncovered ones; 0 disables)
     bulk_rand: int = 8
@@ -203,6 +210,18 @@ class BuildOptions:
     #: recall points at ef=50 for no steady-time win; the knob exists
     #: for re-measuring if bulk candidate quality improves)
     bulk_upper: Optional[int] = None
+    #: navigability backbone: after bulk layer 0 is connected, re-insert
+    #: every level >= 1 member at layer 0 through real insertion waves
+    #: (descent + beam + α-prune + reverse merge). A pure-kNN layer has no
+    #: long-range edges, so an ef-wide search beam that descends into the
+    #: wrong basin of clustered data can never escape — measured at
+    #: 1M×768 cosine (round-4 bisect): bulk recall@10 was 0.44 flat
+    #: across ef while the wave path hit 0.97 from the *same* descent
+    #: seeds. The backbone items (~N/M of the graph) pick up exactly the
+    #: insertion-order escape edges the wave build has, at ~1/M of its
+    #: cost. None = auto (on for bulk builds above ``bulk_threshold``
+    #: members at layer 1, i.e. ~128k items); True/False force.
+    bulk_backbone: Optional[bool] = None
 
 
 def prepare_entry_points(
@@ -399,6 +418,8 @@ def build_graph(
     # ---- bulk cluster-blocked path for large fresh builds (bulk.py) ----
     use_bulk = bulk.eligible(g.metric, n_active, len(deleted_set), len(slots), opts)
     order0 = None
+    backbone_on = False
+    bulk_top = 0
     if use_bulk:
         # Bulk builds layers bulk_top..0; layers above go through the
         # reference-shaped insertion waves below (stop_level skips the
@@ -419,10 +440,30 @@ def build_graph(
             # for no steady-time win once the flat-bootstrap ramp widened
             # — the descent really does need insertion-shaped mid layers
             bulk_top = 0
+        # Navigability backbone (BuildOptions.bulk_backbone): the
+        # level>=1 members skip this upper-only machinery and instead run
+        # through the standard insertion-wave loop below all the way to
+        # layer 0 — a ramped wave build of ~N/M items whose early sparse
+        # waves lay down the multi-scale long edges greedy search needs
+        # to escape a wrong-basin descent. Measured (1M×768 clustered
+        # cosine, round-4 diag): a locally perfect bulk layer 0
+        # (candidate recall 1.0, oracle 0.99 at bulk_adj=16) still
+        # searched at 0.56-0.58 because pure-kNN layers have no escape
+        # edges, while the wave path hit 0.975 from identical descent
+        # seeds; a post-hoc re-insert of the same members could not
+        # recreate the edges (0.42) — the ramp is the mechanism, so the
+        # backbone must be built FIRST, then bulk connects the leaves.
+        backbone_on = (
+            (opts.bulk_backbone is None or bool(opts.bulk_backbone))
+            and bulk_top == 0
+            and bool((lvls > 0).any())
+        )
         upper = lvls > bulk_top
         n_up_active = 0
         active_now = active.copy()  # host mirror of activation, per group
-        for lv in sorted({int(x) for x in lvls[upper]}, reverse=True):
+        for lv in (
+            [] if backbone_on else sorted({int(x) for x in lvls[upper]}, reverse=True)
+        ):
             grp = slots[lvls == lv]
             tri = all(
                 level in flat_tabs for level in range(lv, bulk_top, -1)
@@ -507,26 +548,16 @@ def build_graph(
                 n_up_active += len(chunk)
                 stats.waves += 1
             active_now[grp.astype(np.int64)] = True
-        # bulk layer 0 runs no beams; valid only feeds _ensure_inbound's
-        # row reads, so all members go live at once
-        dev = wave_ops._replace(dev, valid=node_ok)
-        # fence: waves dispatch async — drain them here so the bulk spans
-        # below attribute time to their own device work, not queued waves
-        with span("upper_waves_drain"):
-            jax.block_until_ready(dev.links0)
-        with span("bulk_build", inserts=len(slots), max_level=g.max_level):
-            dev, dirty, counters, order0 = bulk.bulk_build(
-                g, dev, slots, lvls, opts, dirty, counters, top_level=bulk_top,
-                cancel=opts.cancel if opts.cancel is not _never_cancel else None,
-            )
-        with span("bulk_drain"):
-            jax.block_until_ready(dev.links0)
-        stats.waves += 1
-        opts.progress.update(InsertItemsStep(total, total))
 
     groups: list[tuple[int, np.ndarray]] = []
     if not use_bulk:
         for lv in sorted(set(int(x) for x in lvls), reverse=True):
+            groups.append((lv, slots[lvls == lv]))
+    elif backbone_on:
+        # backbone: the level>=1 members take the full insertion-wave
+        # path below (levels L..0), laying down the layer-0 escape edges;
+        # bulk then connects the level-0-only leaves
+        for lv in sorted({int(x) for x in lvls[lvls > 0]}, reverse=True):
             groups.append((lv, slots[lvls == lv]))
 
     # already-inserted slot ids, tracked only inside the flat bootstrap —
@@ -535,13 +566,21 @@ def build_graph(
     # matrix costs ~1.6 TFLOP per bootstrap wave for <= 1024 live columns)
     active_ids = np.nonzero(active)[0].astype(np.int64)
 
+    # the backbone is a fresh sub-build of ~N/M items — let its ramp
+    # reach the widest bucket regardless of the (incremental-tuned,
+    # default 256) wave_size: the divisor bound in _ramp_width still
+    # caps divergence at active/4, but the 1M backbone otherwise climbs
+    # 62.5k members in 488 width-128 dispatches (~30 ms tunnel RTT each;
+    # round-4 trace benchmarks/logs/trace_1m spans) instead of ~30
+    W_groups = max(W, _WAVE_BUCKETS[-1]) if backbone_on else W
+
     for lv, grp in groups:
         start = 0
         prev_wave = None  # previous wave at this level (chain seeding)
         while start < len(grp):
             if opts.cancel():
                 raise BuildCancelled()
-            w_pad = _ramp_width(W, n_active)
+            w_pad = _ramp_width(W_groups, n_active)
             chunk = grp[start : start + w_pad]
             start += len(chunk)
             wave = np.full(w_pad, -1, dtype=np.int32)
@@ -596,6 +635,30 @@ def build_graph(
             stats.waves += 1
             opts.progress.update(InsertItemsStep(done, total))
 
+    # ---- bulk cluster-blocked connect (after any backbone waves) ----
+    if use_bulk:
+        # all members go live before the bulk connect: bulk layer 0 runs
+        # no beams, and valid feeds _ensure_inbound's row reads plus, with
+        # a backbone, the leaves' reverse merges into backbone rows. A
+        # fresh mask array — the node_ok handle aliases dev.valid through
+        # the donated programs below (see memory: node_ok donation gotcha)
+        dev = wave_ops._replace(dev, valid=jnp.asarray(exists_ok))
+        # fence: waves dispatch async — drain them here so the bulk spans
+        # below attribute time to their own device work, not queued waves
+        with span("pre_bulk_drain"):
+            jax.block_until_ready(dev.links0)
+        connect = np.asarray(lvls == 0) if backbone_on else None
+        with span("bulk_build", inserts=len(slots), max_level=g.max_level):
+            dev, dirty, counters, order0 = bulk.bulk_build(
+                g, dev, slots, lvls, opts, dirty, counters, top_level=bulk_top,
+                cancel=opts.cancel if opts.cancel is not _never_cancel else None,
+                connect_mask=connect,
+            )
+        with span("bulk_drain"):
+            jax.block_until_ready(dev.links0)
+        stats.waves += 1
+        opts.progress.update(InsertItemsStep(total, total))
+
     # ---- reduce slack rows to m0 (α-prune over the full candidate set) ----
     if slack:
         with span("prune_slack_rows"):
@@ -611,6 +674,60 @@ def build_graph(
         dev = wave_ops.clear_slots(
             dev, jnp.asarray(np.fromiter(deleted_set, dtype=np.int32))
         )
+
+    # ---- end-of-build stranding re-check (closes VERDICT r3 #8) ----
+    # The per-wave guarantee (_ensure_inbound) is bounded: a later wave's
+    # reverse merge or force-link can displace an earlier forced edge,
+    # re-stranding its item. One cheap global pass per round turns the
+    # bounded guarantee into a checked one: compute layer-0 in/out-degree
+    # with one scatter-add, then repair in two tiers —
+    #   * out-degree 0 (the row never got forward links; e.g. every
+    #     candidate source failed — seen when descent settled on deleted
+    #     hubs before the greedy_descend node_ok fix): re-insert the row
+    #     with exact flat candidates over the whole live graph (one
+    #     [S, capacity] MXU matmul; S is a handful of rows),
+    #   * in-degree 0 with forward links: force one inbound edge via the
+    #     row's own nearest forward neighbors (victim-aware),
+    # repeating until clean (rounds are capped defensively — each round
+    # can displace at most a handful of other rows' only in-edges).
+    if len(slots) or deleted_set:
+        with span("inbound_recheck"):
+            for _round in range(12):
+                indeg_dev, outdeg_dev = wave_ops.layer0_degrees(dev, cap=g.m0)
+                indeg, outdeg, valid_np = jax.device_get(
+                    (indeg_dev, outdeg_dev, dev.valid)
+                )
+                indeg, outdeg = np.asarray(indeg), np.asarray(outdeg)
+                valid_np = np.asarray(valid_np)
+                if int(valid_np.sum()) <= 1:
+                    break
+                empty = np.nonzero(valid_np & (outdeg == 0))[0]
+                if len(empty):
+                    pad = 1 << max(4, int(len(empty) - 1).bit_length())
+                    buf = np.full(pad, -1, dtype=np.int32)
+                    buf[: len(empty)] = empty
+                    rows_j = jnp.asarray(buf)
+                    seeds = jnp.broadcast_to(
+                        dev.entry_slots[None, :], (pad, dev.entry_slots.shape[0])
+                    )
+                    dev, _, dirty, counters = wave_ops.wave_insert_level(
+                        dev, rows_j, seeds, jnp.asarray(exists_ok),
+                        jnp.int32(0), dirty, counters,
+                        is_level0=True, ef=opts.ef_construction, cap=g.m0,
+                        alpha=opts.alpha, flat=True,
+                    )
+                    stats.waves += 1
+                    continue
+                stranded = np.nonzero(valid_np & (indeg == 0))[0]
+                if len(stranded) == 0:
+                    break
+                pad = 1 << max(4, int(len(stranded) - 1).bit_length())
+                buf = np.full(pad, -1, dtype=np.int32)
+                buf[: len(stranded)] = stranded
+                dev, dirty, counters = wave_ops.force_inbound_for(
+                    dev, jnp.asarray(buf), indeg_dev, dirty, counters,
+                    shift=_round % 4, write_cap=g.m0,
+                )
 
     # ---- cluster-locality renumbering (bulk builds) ----
     # Neighboring graph rows become HBM-adjacent, so in-process readers'
@@ -707,7 +824,9 @@ def _insert_wave(
     )
     if seeds is None:
         if dev.max_level > lv and not use_flat and needs_beam:
-            seeds = beam.descend_for_slots(dev, wave_j, dev.max_level, lv + 1)
+            seeds = beam.descend_for_slots(
+                dev, wave_j, dev.max_level, lv + 1, node_ok=node_ok
+            )
         else:
             seeds = jnp.broadcast_to(
                 dev.entry_slots[None, :], (wave.shape[0], dev.entry_slots.shape[0])

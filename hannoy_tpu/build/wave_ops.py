@@ -398,8 +398,30 @@ def _ensure_inbound(
     counters: jax.Array,
     k_check: int = 4,
     force_cap: int = 4,
+    write_cap: int | None = None,
+    indeg: jax.Array | None = None,
 ) -> tuple[DeviceGraph, jax.Array, jax.Array]:
     """Force ≥1 inbound edge for wave items the reverse merge stranded.
+
+    ``write_cap``: column budget the forced edge must land under. During
+    build it stays None (= the physical table width; slack columns are
+    legal, the final α-prune arbitrates). The END-OF-BUILD re-check MUST
+    pass the logical cap m0: ``from_device`` persists only ``[:, :m0]``,
+    so an edge forced into a slack column survives the device in-degree
+    probe but silently vanishes on sync — observed round 4 as 3 rows
+    still in-degree-0 on the host after a "clean" 12-round re-check
+    (scripts/check_bulk.py 20k wave variant).
+
+    ``indeg``: optional per-slot layer-0 in-degree. When given, the
+    forced edge displaces the WORST column of the destination row whose
+    occupant can afford to lose an in-edge (NO_ID or in-degree >= 2)
+    instead of unconditionally the last column — without this, two
+    out-degree-1 rows whose sole forward links point at the same full
+    hub displace each other's only in-edge forever (observed round 4: a
+    perfect A/B ping-pong across all 12 re-check rounds, two trios
+    sharing three hub rows). Wave-path callers omit it (one in-degree
+    scatter-add per wave would serialize the fused program for a case
+    the end-of-build re-check repairs anyway).
 
     A wave item's inbound edges can only live in rows of its own selected
     destinations (the reverse merge writes nowhere else), so presence is
@@ -441,8 +463,20 @@ def _ensure_inbound(
     keep = (dst_s != NO_ID) & (rank < force_cap)
 
     tw = g.links0.shape[-1]
+    wc = tw if write_cap is None else min(write_cap, tw)
     safe_dst = jnp.where(keep, dst_s, g.capacity)
-    col = tw - 1 - jnp.where(keep, rank, 0)
+    rank_k = jnp.where(keep, rank, 0)
+    if indeg is None:
+        col = wc - 1 - rank_k
+    else:
+        # rank-th worst column of dst whose occupant is safe to displace
+        occ = g.links0[jnp.maximum(dst_s, 0), :wc]  # [W, wc]
+        occ_safe = (occ == NO_ID) | (indeg[jnp.maximum(occ, 0)] >= 2)
+        j = jnp.arange(wc, dtype=jnp.int32)[None, :]
+        score = jnp.where(occ_safe, j, jnp.int32(-1))
+        safe_desc = -jnp.sort(-score, axis=-1)  # [W, wc] desc, -1 padded
+        picked = jnp.take_along_axis(safe_desc, rank_k[:, None], axis=-1)[:, 0]
+        col = jnp.where(picked >= 0, picked, wc - 1 - rank_k)
     links0 = g.links0.at[safe_dst, col].set(src_s, mode="drop")
     dists0 = g.dists0.at[safe_dst, col].set(dd, mode="drop")
 
@@ -457,6 +491,94 @@ def _ensure_inbound(
     dirty = dirty.at[safe_dst].set(True, mode="drop")
     counters = counters.at[CNT_FWD_LINKS].add(jnp.sum(keep, dtype=jnp.int32))
     return _replace(g, links0=links0, dists0=dists0), dirty, counters
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def layer0_indegree(g: "DeviceGraph", cap: int | None = None) -> jax.Array:
+    """Layer-0 in-degree of every slot, counting edges from live rows only
+    → [capacity] int32. One scatter-add over the whole link table.
+
+    ``cap``: count only the first ``cap`` columns — the end-of-build
+    re-check passes m0 because ``from_device`` persists only ``[:, :m0]``
+    and an edge living in a slack column does not exist for readers."""
+    links = g.links0 if cap is None else g.links0[:, :cap]
+    links = jnp.where(g.valid[:, None], links, NO_ID)
+    tgt = jnp.where(links != NO_ID, links, g.capacity)
+    return (
+        jnp.zeros((g.capacity,), jnp.int32)
+        .at[tgt.reshape(-1)]
+        .add(1, mode="drop")
+    )
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def layer0_degrees(
+    g: "DeviceGraph", cap: int | None = None
+) -> tuple[jax.Array, jax.Array]:
+    """(in-degree, out-degree) of every slot at layer 0 → two [capacity]
+    int32 arrays, one program (the end-of-build re-check's probe).
+    ``cap``: see ``layer0_indegree``."""
+    links = g.links0 if cap is None else g.links0[:, :cap]
+    outdeg = jnp.sum(links != NO_ID, axis=-1, dtype=jnp.int32)
+    return layer0_indegree(g, cap), outdeg
+
+
+@partial(
+    jax.jit,
+    static_argnames=("shift", "write_cap"),
+    donate_argnames=("g", "dirty", "counters"),
+)
+def force_inbound_for(
+    g: "DeviceGraph",
+    stranded: jax.Array,  # [S] slots with layer-0 in-degree 0 (-1 padded)
+    indeg: jax.Array,  # [capacity] current layer-0 in-degree
+    dirty: jax.Array,
+    counters: jax.Array,
+    shift: int = 0,
+    write_cap: int | None = None,
+):
+    """Force one inbound edge for each already-built stranded row, using
+    its *current* forward links as the destination candidates (they are
+    ascending, so column 0 is its nearest neighbor). The end-of-build
+    re-check driver calls this until no live slot has in-degree 0 —
+    turning the bounded per-wave guarantee (``_ensure_inbound``; later
+    waves can displace forced edges, hnsw.rs:538-552 failure mode) into a
+    checked one.
+
+    The forced edge lands in its destination row's worst column,
+    displacing that row's worst link — which may be some other item's
+    only in-edge. Destinations are therefore reordered to prefer forward
+    neighbors whose worst link's target has in-degree >= 2 (victim-aware;
+    using the ``indeg`` the driver already computed this round), and
+    ``shift`` additionally rotates the preference across rounds — two
+    stranded rows sharing a nearest neighbor otherwise displace each
+    other's forced edge forever (observed at 20k: one row still stranded
+    after 8 nearest-only rounds)."""
+    ok = stranded != NO_ID
+    rows = g.links0[jnp.maximum(stranded, 0)]
+    dcol = g.dists0[jnp.maximum(stranded, 0)]
+    if shift:
+        rows = rows[:, shift:]
+        dcol = dcol[:, shift:]
+    # victim of a forced write into row r = the link at the column the
+    # force will overwrite (the worst within write_cap)
+    vcol = (g.links0.shape[-1] if write_cap is None else write_cap) - 1
+    victim = g.links0[jnp.maximum(rows, 0), vcol]  # [S, W]
+    safe = (rows != NO_ID) & ((victim == NO_ID) | (indeg[jnp.maximum(victim, 0)] >= 2))
+    # stable partition: safe destinations first, original ascending order
+    # preserved within each class (rank by 2*unsafe + position scaled)
+    W = rows.shape[1]
+    pos = jnp.arange(W, dtype=jnp.int32)[None, :]
+    key = jnp.where(rows == NO_ID, 2 * W + pos, jnp.where(safe, pos, W + pos))
+    order = jnp.argsort(key, axis=1)
+    rows = jnp.take_along_axis(rows, order, axis=1)
+    dcol = jnp.take_along_axis(dcol, order, axis=1)
+    sel_ids = jnp.where(ok[:, None], rows, NO_ID)
+    sel_d = jnp.where(ok[:, None], dcol, INF)
+    return _ensure_inbound(
+        g, stranded, sel_ids, sel_d, dirty, counters,
+        write_cap=write_cap, indeg=indeg,
+    )
 
 
 import os as _os

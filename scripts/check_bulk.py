@@ -88,6 +88,8 @@ def main():
                     continue
                 k, v = item.split("=")
                 kw[k] = float(v) if "." in v else int(v)
+                if k in ("bulk", "bulk_backbone", "bulk_renumber"):
+                    kw[k] = bool(kw[k])  # eligible() tests identity (is False)
             variants.append((part or "bulk", kw))
     for label, kw in variants:
         g, stats, dt = build(data, metric, kw)
