@@ -897,9 +897,19 @@ class QueryBuilder:
         self._candidates: Optional[IdSet] = None
         self._linear_below = DEFAULT_LINEAR_SCAN_THRESHOLD
         self._linear_below_ratio = DEFAULT_LINEAR_SCAN_THRESHOLD_RATIO
+        self._ef_upper: Optional[int] = None
 
     def ef_search(self, ef: int) -> "QueryBuilder":
         self._ef = max(ef, self._count)
+        return self
+
+    def ef_upper(self, ef_upper: int) -> "QueryBuilder":
+        """Width of the pooled layer-1 descent (TPU extension; the
+        reference's walk_layer is always greedy ef=1, reader.rs:739-752).
+        Default ``None`` = auto (``ops.beam.default_ef_upper``): 1 below
+        ~200k items, 16 above — wide descent rescues wrong-basin seeds on
+        large clustered data at a cost confined to the small layer 1."""
+        self._ef_upper = max(1, int(ef_upper))
         return self
 
     def candidates(self, candidates) -> "QueryBuilder":
@@ -920,6 +930,24 @@ class QueryBuilder:
 
     def by_vector_with_cancellation(self, vector, cancel_fn) -> Searched:
         return self._reader._nns_by_vec(self, np.asarray(vector, dtype=np.float32), cancel_fn)
+
+    def by_vectors(self, vectors) -> list[Searched]:
+        """Batched search — every QueryBuilder option (candidates filter,
+        linear-scan fast path, ef) applies to each query exactly as the
+        reference applies them per query (reader.rs:60-261); the batch
+        rides one device program."""
+        return self._reader._nns_by_vecs(
+            self, np.asarray(vectors, dtype=np.float32), _never_cancel
+        )
+
+    def by_vectors_with_cancellation(self, vectors, cancel_fn) -> list[Searched]:
+        """Batched + cancellable: the layer-0 beam runs in bounded chunks
+        with ``cancel_fn`` probed between device dispatches; on
+        cancellation every row returns its pool-so-far with
+        ``did_cancel=True`` (reader.rs:167-188 semantics per query)."""
+        return self._reader._nns_by_vecs(
+            self, np.asarray(vectors, dtype=np.float32), cancel_fn
+        )
 
     def by_item(self, item: int) -> Optional[Searched]:
         return self._reader._nns_by_item(self, int(item), _never_cancel)
@@ -1026,42 +1054,30 @@ class Reader:
         return self.nns(n).ef_search(ef_search).by_vector(query).into_nns()
 
     def by_vecs(
-        self, queries: np.ndarray, n: int = 10, ef_search: int = 200
+        self,
+        queries: np.ndarray,
+        n: int = 10,
+        ef_search: int = 200,
+        candidates=None,
+        cancel=None,
     ) -> list[list[tuple[int, float]]]:
         """Batched search — the TPU-native throughput path.
 
-        Runs the same degraded-search completion as the single-query path
-        (reader.rs:771-795): rows whose beam returned fewer than ``n``
-        results (greedy descent trapped on a layer-0-isolated entry point)
-        are topped up with one batched exact scan over unseen slots."""
-        q, qn = self._prep_queries(np.asarray(queries, dtype=np.float32))
-        res = _beam.hnsw_search(self._dev, q, qn, ef=max(ef_search, n))
-        out = self._collect(res, n)
-        want = min(n, self.n_items())
-        deficient = [b for b, row in enumerate(out) if len(row) < want]
-        if deficient:
-            masks = np.broadcast_to(
-                np.asarray(self._graph.valid_mask()), (len(deficient), self._graph.capacity)
-            ).copy()
-            for r, b in enumerate(deficient):
-                for item, _ in out[b]:
-                    s = self._graph.id_to_slot.get(int(item))
-                    if s is not None:
-                        masks[r, s] = False
-            k = min(n, self._graph.capacity)
-            d, s = flat_topk(
-                self._metric.name,
-                q[jnp.asarray(np.asarray(deficient))],
-                qn[jnp.asarray(np.asarray(deficient))],
-                self._dev.vectors,
-                self._dev.norms,
-                jnp.asarray(masks),
-                k,
-            )
-            extras = self._collect(_beam.BeamResult(d, s, jnp.int32(0)), n)
-            for r, b in enumerate(deficient):
-                out[b] = sorted(out[b] + extras[r], key=lambda t: t[1])[:n]
-        return out
+        Full QueryBuilder semantics per query (reference applies them
+        universally, reader.rs:60-261): ``candidates`` filters results
+        (and routes small sets to the exact linear scan), ``cancel``
+        probes between beam chunks and returns each row's pool-so-far,
+        and deficient rows get the degraded-search completion
+        (reader.rs:771-795). For per-row ``Searched`` flags (did_cancel,
+        truncated) use ``reader.nns(n).by_vectors(...)``."""
+        qb = self.nns(n).ef_search(max(ef_search, n))
+        if candidates is not None:
+            qb = qb.candidates(candidates)
+        if cancel is not None:
+            searched = qb.by_vectors_with_cancellation(queries, cancel)
+        else:
+            searched = qb.by_vectors(queries)
+        return [s.nns for s in searched]
 
     # -- internals ----------------------------------------------------------
     def _prep_queries(self, queries: np.ndarray):
@@ -1107,12 +1123,21 @@ class Reader:
         )
 
     def _nns_by_vec(self, opt: QueryBuilder, vector: np.ndarray, cancel_fn) -> Searched:
-        if vector.shape[-1] != self.dimensions():
-            raise InvalidVecDimension(self.dimensions(), vector.shape[-1])
+        return self._nns_by_vecs(opt, vector[None, :], cancel_fn)[0]
+
+    def _nns_by_vecs(
+        self, opt: QueryBuilder, vectors: np.ndarray, cancel_fn
+    ) -> list[Searched]:
+        """Batched QueryBuilder execution — one device program serves the
+        whole batch; every option applies per query (reader.rs:60-261)."""
+        vectors = np.atleast_2d(vectors)
+        if vectors.shape[-1] != self.dimensions():
+            raise InvalidVecDimension(self.dimensions(), vectors.shape[-1])
+        B = vectors.shape[0]
         item_ids = self.item_ids()
         if not item_ids or (opt._candidates is not None and item_ids.isdisjoint(opt._candidates)):
-            return Searched([], False)
-        q, qn = self._prep_queries(vector[None, :])
+            return [Searched([], False) for _ in range(B)]
+        q, qn = self._prep_queries(vectors)
 
         if opt._candidates is not None and self._should_linear_scan(opt):
             return self._brute_force(q, qn, opt._candidates, opt._count, cancel_fn)
@@ -1131,7 +1156,7 @@ class Reader:
         if opt._candidates is not None and self._should_linear_scan(opt):
             vec = self.item_vector(item)
             q, qn = self._prep_queries(np.asarray(vec, dtype=np.float32)[None, :])
-            return self._brute_force(q, qn, opt._candidates, opt._count, cancel_fn)
+            return self._brute_force(q, qn, opt._candidates, opt._count, cancel_fn)[0]
 
         q = self._dev.vectors[slot][None, :]
         qn = self._dev.norms[slot][None]
@@ -1145,82 +1170,116 @@ class Reader:
         seeds = jnp.asarray(np.asarray([[slot]], dtype=np.int32))
         res = _beam.beam_search_filtered(self._dev, q, qn, seeds, ef, jnp.asarray(cand))
         searched = Searched(self._collect(res, opt._count)[0], False)
-        return self._top_up(searched, q, qn, opt, exclude={int(item)})
+        return self._top_up([searched], q, qn, opt, exclude={int(item)})[0]
 
-    def _brute_force(self, q, qn, candidates: IdSet, count: int, cancel_fn) -> Searched:
-        """reader.rs:668-711 — exact scan over the candidate set."""
+    def _brute_force(self, q, qn, candidates: IdSet, count: int, cancel_fn) -> list[Searched]:
+        """reader.rs:668-711 — exact scan over the candidate set (batched)."""
+        B = int(q.shape[0])
         mask = self._candidate_mask(candidates)
         if cancel_fn():
-            return Searched([], True)
+            return [Searched([], True) for _ in range(B)]
         k = min(count, self._graph.capacity)
         d, s = flat_topk(
             self._metric.name, q, qn, self._dev.vectors, self._dev.norms, jnp.asarray(mask), k
         )
         res = _beam.BeamResult(d, s, jnp.int32(0))
-        return Searched(self._collect(res, count)[0], False)
+        return [Searched(nns, False) for nns in self._collect(res, count)]
 
-    def _hnsw_search(self, q, qn, opt: QueryBuilder, cancel_fn) -> Searched:
-        """reader.rs:722-800: descent, layer-0 beam, degraded top-up.
+    def _hnsw_search(self, q, qn, opt: QueryBuilder, cancel_fn) -> list[Searched]:
+        """reader.rs:722-800: descent, layer-0 beam, degraded top-up —
+        batched; every query in ``q`` rides the same device program.
 
         With a non-trivial ``cancel_fn`` the layer-0 beam runs in bounded
         iteration chunks with the cancel probed between chunks (reference
         ``Visitor`` probes per hop, reader.rs:301-369), so a long search is
         interruptible mid-flight and returns the pool-so-far as partials.
         """
+        B = int(q.shape[0])
         ef = max(opt._ef, opt._count)
         max_iters = 2 * ef + 16
+        efu = (
+            opt._ef_upper
+            if opt._ef_upper is not None
+            else _beam.default_ef_upper(self.n_items(), ef)
+        )
         if cancel_fn():
-            return Searched([], True)
+            return [Searched([], True) for _ in range(B)]
         if opt._candidates is not None:
             mask = self._candidate_mask(opt._candidates)
             if cancel_fn is _never_cancel:
                 res = _beam.hnsw_search_filtered(
-                    self._dev, q, qn, jnp.asarray(mask), ef, max_iters=max_iters
+                    self._dev, q, qn, jnp.asarray(mask), ef, max_iters=max_iters,
+                    ef_upper=efu,
                 )
                 cancelled = False
             else:
                 res, cancelled = _beam.hnsw_search_filtered_cancellable(
                     self._dev, q, qn, jnp.asarray(mask), ef, cancel_fn,
-                    max_iters=max_iters,
+                    max_iters=max_iters, ef_upper=efu,
                 )
         elif cancel_fn is _never_cancel:
-            res = _beam.hnsw_search(self._dev, q, qn, ef, max_iters=max_iters)
+            res = _beam.hnsw_search(
+                self._dev, q, qn, ef, max_iters=max_iters, ef_upper=efu
+            )
             cancelled = False
         else:
             res, cancelled = _beam.hnsw_search_cancellable(
-                self._dev, q, qn, ef, cancel_fn, max_iters=max_iters
+                self._dev, q, qn, ef, cancel_fn, max_iters=max_iters, ef_upper=efu
             )
         dists, slots, iters = jax.device_get((res.dists, res.slots, res.iters))
         res = _beam.BeamResult(dists, slots, iters)
         truncated = int(iters) >= max_iters
-        searched = Searched(self._collect(res, opt._count)[0], cancelled, truncated)
+        searched = [
+            Searched(nns, cancelled, truncated) for nns in self._collect(res, opt._count)
+        ]
         if cancelled:
             return searched
         return self._top_up(searched, q, qn, opt)
 
-    def _top_up(self, searched: Searched, q, qn, opt: QueryBuilder, exclude=frozenset()) -> Searched:
-        """Degraded-search top-up (reader.rs:771-795): when the beam returns
-        fewer than ``count`` (trapped in a cyclic subgraph), finish with an
-        exact scan over unseen items — on TPU the exact scan *is* the
-        restart-visits loop's fixed point, so we go straight there."""
-        if len(searched.nns) >= opt._count:
+    def _top_up(
+        self, searched: list[Searched], q, qn, opt: QueryBuilder, exclude=frozenset()
+    ) -> list[Searched]:
+        """Degraded-search top-up (reader.rs:771-795): rows whose beam
+        returned fewer than ``count`` results (trapped in a cyclic
+        subgraph) finish with one batched exact scan over unseen items —
+        on TPU the exact scan *is* the restart-visits loop's fixed point,
+        so we go straight there. Honors the candidates filter."""
+        if opt._candidates is not None:
+            achievable = self.item_ids().intersection_len(opt._candidates)
+            achievable -= sum(
+                1
+                for e in exclude
+                if int(e) in opt._candidates and int(e) in self.item_ids()
+            )
+        else:
+            achievable = self.n_items() - sum(
+                1 for e in exclude if int(e) in self.item_ids()
+            )
+        want = min(opt._count, max(achievable, 0))
+        deficient = [b for b, s in enumerate(searched) if len(s.nns) < want]
+        if not deficient:
             return searched
-        have = {i for i, _ in searched.nns} | set(exclude)
-        mask = self._candidate_mask(opt._candidates)
-        if mask is None:
-            mask = np.asarray(self._graph.valid_mask()).copy()
-        for item in have:
-            s = self._graph.id_to_slot.get(int(item))
-            if s is not None:
-                mask[s] = False
-        missing = opt._count - len(searched.nns)
-        k = min(max(missing, 1), self._graph.capacity)
+        base = self._candidate_mask(opt._candidates)
+        if base is None:
+            base = np.asarray(self._graph.valid_mask()).copy()
+        masks = np.broadcast_to(base, (len(deficient), self._graph.capacity)).copy()
+        for r, b in enumerate(deficient):
+            for item in ({i for i, _ in searched[b].nns} | set(exclude)):
+                s = self._graph.id_to_slot.get(int(item))
+                if s is not None:
+                    masks[r, s] = False
+        k = min(opt._count, self._graph.capacity)
+        sel = jnp.asarray(np.asarray(deficient))
         d, s = flat_topk(
-            self._metric.name, q, qn, self._dev.vectors, self._dev.norms, jnp.asarray(mask), k
+            self._metric.name, q[sel], qn[sel],
+            self._dev.vectors, self._dev.norms, jnp.asarray(masks), k,
         )
-        extra = self._collect(_beam.BeamResult(d, s, jnp.int32(0)), missing)[0]
-        merged = sorted(searched.nns + extra, key=lambda t: t[1])[: opt._count]
-        return Searched(merged, searched.did_cancel, searched.truncated)
+        extras = self._collect(_beam.BeamResult(d, s, jnp.int32(0)), opt._count)
+        out = list(searched)
+        for r, b in enumerate(deficient):
+            merged = sorted(searched[b].nns + extras[r], key=lambda t: t[1])[: opt._count]
+            out[b] = Searched(merged, searched[b].did_cancel, searched[b].truncated)
+        return out
 
     def assert_validity(self) -> None:
         """Graph invariant checker (reference assert_validity,

@@ -228,6 +228,73 @@ def test_filtered_search_graph_path(db, rng):
     assert len(ids) == 10
 
 
+def test_filtered_search_exact_batched(db, rng):
+    """by_vecs with a small candidate set takes the linear-scan path per
+    query and must be exact (VERDICT r3 #6: QueryBuilder semantics apply
+    to the batched path like reader.rs:60-261 applies them per query)."""
+    data = _fill(db, 300, 16)
+    reader = db.reader()
+    cand = sorted(rng.choice(300, size=20, replace=False).tolist())
+    rows = reader.by_vecs(data[:6], n=5, candidates=cand)
+    for b in range(6):
+        ids = [i for i, _ in rows[b]]
+        assert set(ids) <= set(cand)
+        d = ((data[cand] - data[b]) ** 2).sum(1)
+        expect = [cand[j] for j in np.argsort(d)[:5]]
+        assert ids == expect
+
+
+def test_filtered_search_graph_path_batched(db, rng):
+    data = _fill(db, 400, 16)
+    reader = db.reader()
+    cand = sorted(rng.choice(400, size=350, replace=False).tolist())
+    searched = (
+        reader.nns(10).ef_search(80).linear_below(10).candidates(cand)
+        .by_vectors(data[:6])
+    )
+    for b, res in enumerate(searched):
+        ids = [i for i, _ in res.nns]
+        assert set(ids) <= set(cand)
+        assert len(ids) == 10
+        single = (
+            reader.nns(10).ef_search(80).linear_below(10).candidates(cand)
+            .by_vector(data[b])
+        )
+        assert ids == [i for i, _ in single.nns]
+
+
+def test_batched_search_cancellation(db):
+    data = _fill(db, 200, 8)
+    reader = db.reader()
+    rows = reader.by_vecs(data[:4], n=10, cancel=lambda: True)
+    assert rows == [[], [], [], []]
+    searched = reader.nns(10).by_vectors_with_cancellation(
+        data[:4], lambda: True
+    )
+    assert all(s.did_cancel for s in searched)
+
+
+def test_batched_filtered_disjoint_candidates(db):
+    _fill(db, 50, 8)
+    reader = db.reader()
+    rows = reader.by_vecs(np.zeros((3, 8), np.float32), n=5, candidates=[1000, 1001])
+    assert rows == [[], [], []]
+
+
+def test_batched_count_more_than_candidates(db, rng):
+    """Degraded top-up honors the candidates filter on the batched path."""
+    data = _fill(db, 100, 8)
+    reader = db.reader()
+    cand = sorted(rng.choice(100, size=30, replace=False).tolist())
+    searched = (
+        reader.nns(50).ef_search(64).linear_below(5).candidates(cand)
+        .by_vectors(data[:3])
+    )
+    for res in searched:
+        ids = [i for i, _ in res.nns]
+        assert set(ids) == set(cand)  # every candidate returned, none else
+
+
 def test_count_more_than_items(db):
     _fill(db, 10, 8)
     reader = db.reader()
@@ -541,6 +608,92 @@ def test_incremental_inserts_never_stranded(tmp_path, rng):
     rows = reader.by_vecs(extra, n=5, ef_search=128)
     missing = [n + j for j, row in enumerate(rows) if (n + j) not in [t[0] for t in row]]
     assert not missing, f"stranded incremental inserts: {missing}"
+    db.close()
+
+
+def test_no_zero_indegree_at_build_end(tmp_path, rng):
+    """After every build — fresh, incremental, with deletes — no live item
+    may have layer-0 in-degree 0 (the end-of-build re-check closes the
+    bounded-guarantee gap where later waves displace forced edges;
+    reference failure mode hnsw.rs:538-552)."""
+    from hannoy_tpu import Database, Metric
+
+    d = 64
+    db = Database(tmp_path / "z", Metric.COSINE)
+    next_id = 0
+    live_ids: set[int] = set()
+    for rnd in range(4):
+        n_add = [400, 40, 24, 200][rnd]
+        data = rng.standard_normal((n_add, d)).astype(np.float32)
+        to_del = sorted(rng.choice(sorted(live_ids), size=min(len(live_ids) // 4, 50), replace=False).tolist()) if live_ids else []
+        with db.writer(dimensions=d, m=8, ef=32) as w:
+            w.add_items(range(next_id, next_id + n_add), data)
+            for i in to_del:
+                w.del_item(i)
+        live_ids |= set(range(next_id, next_id + n_add))
+        live_ids -= set(to_del)
+        next_id += n_add
+
+        g = db.reader()._graph
+        live = np.nonzero(g.levels >= 0)[0]
+        assert len(live) == len(live_ids)
+        rows = g.links0[live]
+        inbound = np.bincount(rows[rows >= 0], minlength=g.capacity)[live]
+        assert (inbound > 0).all(), (
+            f"round {rnd}: {int((inbound == 0).sum())} live items with in-degree 0"
+        )
+    db.close()
+
+
+def test_ef_upper_pooled_descent(db, rng):
+    """QueryBuilder.ef_upper (pooled layer-1 descent, TPU extension) must
+    return well-formed results and keep the self-hit; on small graphs it
+    may only widen the explored basin, never lose the greedy result's
+    quality class."""
+    data = _fill(db, 500, 16)
+    reader = db.reader()
+    s1 = reader.nns(10).ef_search(64).by_vectors(data[:5])
+    s8 = reader.nns(10).ef_search(64).ef_upper(8).by_vectors(data[:5])
+    for b_row, (a, b) in enumerate(zip(s1, s8)):
+        assert len(b.nns) == 10
+        assert b.nns[0][0] == b_row  # self-hit survives the pooled descent
+        assert b.nns[0][1] <= a.nns[0][1] + 1e-6
+
+
+def test_incremental_insert_with_deleted_descent_hub(tmp_path, rng):
+    """Incremental inserts whose greedy descent settles near deleted slots
+    must still get forward links and stay searchable (round-4 regression:
+    ``greedy_descend`` ignored node_ok, ``_seed_pool`` then dropped the
+    deleted seed, and the wave wrote an EMPTY forward row — 11/24 inserts
+    ended with out-degree 0 and were unreachable at any ef). The deleted
+    set here is exactly the near-origin region the origin-cluster inserts
+    descend into."""
+    from hannoy_tpu import Database, Metric
+
+    d = 32
+    db = Database(tmp_path / "ddh", Metric.EUCLIDEAN)
+    centers = rng.standard_normal((8, d)).astype(np.float32) * 4
+    data = (
+        centers[rng.integers(0, 8, 1200)] + rng.standard_normal((1200, d))
+    ).astype(np.float32)
+    with db.writer(dimensions=d, m=8, ef=48) as w:
+        w.add_items(range(1200), data)
+    near = np.argsort((data**2).sum(1))[:40]
+    extra = (rng.standard_normal((16, d)) * 0.5).astype(np.float32)
+    with db.writer(dimensions=d, m=8, ef=48) as w:
+        w.add_items(range(1200, 1216), extra)
+        for i in near:
+            w.del_item(int(i))
+    r = db.reader()
+    rows = r.by_vecs(extra, n=3, ef_search=128)
+    miss = [j for j, row in enumerate(rows) if (1200 + j) not in [t[0] for t in row]]
+    assert not miss, f"unreachable inserts {miss}"
+    g = r._graph
+    live = np.nonzero(g.levels >= 0)[0]
+    lr = g.links0[live]
+    assert ((lr >= 0).sum(axis=1) > 0).all(), "live row with empty forward links"
+    inbound = np.bincount(lr[lr >= 0], minlength=g.capacity)[live]
+    assert (inbound > 0).all()
     db.close()
 
 
