@@ -76,8 +76,8 @@ def make_data(n: int, d: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
 
 def main() -> None:
     path = os.environ.get("DEEP_PATH") or os.path.join("/tmp", f"deep{N}")
-    print(f"deep10m: N={N} D={D} shards={S} efc={EFC} store={path}")
-    print("calib_pre:", chip_calibration())
+    print(f"deep10m: N={N} D={D} shards={S} efc={EFC} store={path}", flush=True)
+    print("calib_pre:", chip_calibration(), flush=True)
     data, queries = make_data(N, D)
 
     db = Database(path, Metric.EUCLIDEAN, map_size=64 << 30)
@@ -89,19 +89,22 @@ def main() -> None:
     for i in range(0, N, step):
         w.add_items(range(i, min(i + step, N)), data[i : i + step])
     stage_s = time.perf_counter() - t0
-    print(f"staged {N} items into {S} store shards in {stage_s:.1f}s")
+    print(f"staged {N} items into {S} store shards in {stage_s:.1f}s", flush=True)
 
     t0 = time.perf_counter()
     w.build(spmd=False)
     build_s = time.perf_counter() - t0
     db.commit_rw_txn()
-    print(f"built {S} shards in {build_s:.1f}s ({N / build_s:.0f} vec/s)")
+    print(f"built {S} shards in {build_s:.1f}s ({N / build_s:.0f} vec/s)", flush=True)
 
     # ---- per-shard validity + device staging ----
+    # graph-side invariants only (numpy): Reader.assert_validity's store
+    # sweep decodes every link record in Python — minutes at 2.5M rows per
+    # shard, and the r3 battery died in exactly this window
     readers = [Reader.open(db, s) for s in range(S)]
     for s, r in enumerate(readers):
-        r.assert_validity()
-        print(f"shard {s}: n_items={r.n_items()} ok")
+        r._graph.check_validity()
+        print(f"shard {s}: n_items={r.n_items()} ok", flush=True)
 
     # ---- capacity math ----
     per_shard = 0
@@ -141,14 +144,15 @@ def main() -> None:
     results = {}
     rows = []
     for ef in EF_SWEEP:
+        efu = beam.default_ef_upper(N // S, ef)  # the Reader's shipped default
         for dev in devs:  # warm compiles
-            beam.hnsw_search(dev, q, qn, ef)
+            beam.hnsw_search(dev, q, qn, ef, ef_upper=efu)
         t0 = time.perf_counter()
         reps = 3
         for _ in range(reps):
             merged = np.full((NQ, K), np.inf, dtype=np.float32)
             for dev in devs:
-                res = beam.hnsw_search(dev, q, qn, ef)
+                res = beam.hnsw_search(dev, q, qn, ef, ef_upper=efu)
                 merged = np.sort(
                     np.concatenate([merged, np.asarray(res.dists)[:, :K]], axis=1),
                     axis=1,
@@ -157,7 +161,7 @@ def main() -> None:
         recall = float((merged <= thresh).mean())
         qps = NQ / dt
         results[ef] = (recall, qps)
-        print(f"ef={ef}: recall@10={recall:.4f} qps={qps:.0f}")
+        print(f"ef={ef}: recall@10={recall:.4f} qps={qps:.0f}", flush=True)
         rows.append(
             {
                 "bench": f"deep{N}_{D}d_euclidean_sharded{S}",
@@ -172,12 +176,12 @@ def main() -> None:
         )
 
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                       "benchmarks", "results_r3.jsonl")
+                       "benchmarks", "results_r4.jsonl")
     with open(out, "a") as f:
         for row in rows:
             f.write(json.dumps(row) + "\n")
-    print(f"calib_post: {chip_calibration()}")
-    print(f"rows appended to {out}")
+    print(f"calib_post: {chip_calibration()}", flush=True)
+    print(f"rows appended to {out}", flush=True)
     db.close()
 
 

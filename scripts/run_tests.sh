@@ -10,15 +10,20 @@
 # to `python -m pytest tests/ -x -q`.
 set -e
 cd "$(dirname "$0")/.."
+# a chunk is a pytest arg string (files, optionally -k to split one
+# heavy file across processes — the segfault is per-process compile
+# count, so splits track test growth)
 CHUNKS=(
-  "tests/test_api.py tests/test_beam.py"
-  "tests/test_builder.py tests/test_codecs.py tests/test_distances.py"
+  "tests/test_api.py"
+  "tests/test_beam.py tests/test_codecs.py tests/test_distances.py"
+  "tests/test_builder.py -k 'not (int8 or bf16 or chain or cancel)'"
+  "tests/test_builder.py -k 'int8 or bf16 or chain or cancel'"
   "tests/test_bulk.py"
   "tests/test_fuzz.py tests/test_pallas.py tests/test_schema.py"
   "tests/test_sharded.py tests/test_snapshots.py tests/test_spmd_build.py tests/test_store.py"
 )
 # fail loudly if a new tests/test_*.py is not covered by any chunk
-listed=$(echo "${CHUNKS[@]}" | tr ' ' '\n' | sort)
+listed=$(echo "${CHUNKS[@]}" | tr ' ' '\n' | grep '^tests/' | sort -u)
 actual=$(ls tests/test_*.py | sort)
 if [ "$listed" != "$actual" ]; then
   echo "ERROR: CHUNKS out of sync with tests/test_*.py" >&2
@@ -27,6 +32,6 @@ if [ "$listed" != "$actual" ]; then
 fi
 for c in "${CHUNKS[@]}"; do
   echo "=== pytest $c"
-  python -m pytest $c -x -q "$@"
+  eval python -m pytest $c -x -q "$@"
 done
 echo "ALL CHUNKS PASSED"
