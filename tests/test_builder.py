@@ -372,3 +372,46 @@ def test_cancellable_build_matches_fused_build(rng):
         build_graph(g, slots, np.empty(0, dtype=np.int64), BuildOptions(**kw))
         graphs.append(g)
     assert np.array_equal(graphs[0].links0, graphs[1].links0)
+
+
+def test_force_inbound_victim_aware_columns(rng):
+    """The end-of-build force-link must displace a destination column
+    whose occupant can afford to lose an in-edge — never an occupant
+    whose ONLY in-edge it is (round-4 ping-pong: two out-degree-1 rows
+    sharing one full hub displaced each other's only in-edge across all
+    12 re-check rounds; see wave_ops.force_inbound_for)."""
+    from hannoy_tpu.build import wave_ops
+
+    m, m0 = 2, 4
+    n = 8
+    data = rng.standard_normal((n, 16)).astype(np.float32)
+    g, slots = stage(EUCLIDEAN, data, np.arange(n), m=m, m0=m0)
+    g.levels[:n] = 0
+    # hub 0: full row [3, 4, 5, 6]; occupant 6's ONLY in-edge is from the
+    # hub; occupants 3, 4, 5 have a second in-edge from row 7.
+    g.links0[0, :] = [3, 4, 5, 6]
+    g.dists0[0, :] = [0.1, 0.2, 0.3, 0.4]
+    for s, tgt in ((1, 0), (2, 0), (3, 0), (4, 0), (5, 0), (6, 0)):
+        g.links0[s, 0] = tgt
+        g.dists0[s, 0] = 0.5
+    g.links0[7, :3] = [3, 4, 5]
+    g.dists0[7, :3] = [0.6, 0.7, 0.8]
+
+    dev = to_device(g)
+    indeg, outdeg = wave_ops.layer0_degrees(dev, cap=m0)
+    indeg_np = np.asarray(indeg)
+    assert indeg_np[1] == 0 and indeg_np[2] == 0  # the stranded pair
+    assert indeg_np[6] == 1  # the must-not-displace occupant
+
+    stranded = np.full(16, -1, dtype=np.int32)
+    stranded[:2] = [1, 2]
+    dirty = jnp.zeros((g.capacity,), dtype=bool)
+    counters = jnp.zeros((4,), dtype=jnp.int32)
+    dev, dirty, counters = wave_ops.force_inbound_for(
+        dev, jnp.asarray(stranded), indeg, dirty, counters,
+        shift=0, write_cap=m0,
+    )
+    ind2 = np.asarray(wave_ops.layer0_indegree(dev, cap=m0))
+    assert ind2[1] >= 1 and ind2[2] >= 1, "stranded pair not repaired"
+    assert ind2[6] >= 1, "sole in-edge of occupant 6 was displaced"
+    assert 6 in np.asarray(dev.links0[0, :m0]).tolist()
