@@ -42,9 +42,19 @@ from .codecs import BINARY, BQ, F32
 _EPS = np.float32(1.1920929e-07)  # f32::EPSILON
 
 #: Matmul precision for f32 distance einsums. TPU MXUs default to bf16-ish
-#: passes; HIGHEST keeps f32 distances exact (the workload is
-#: HBM-bandwidth-bound, so this costs little).
+#: passes; HIGHEST keeps f32 distances exact (the gather-bound paths are
+#: HBM-bandwidth-bound, so this costs little THERE — the bulk builder's
+#: dense blocks are compute-bound and opt into one-pass bf16 below).
 MATMUL_PRECISION = jax.lax.Precision.HIGHEST
+
+#: HANNOY_TPU_BULK_BF16=1: the bulk builder's compute-bound dense blocks
+#: (candidate generation block_distances, α-prune pairwise_block) run
+#: their f32 dot-metric matmuls as one bf16 MXU pass with f32 accumulate
+#: instead of HIGHEST's 3-6 passes. Candidate lists and prune decisions
+#: shift only for near-ties; search-path distances stay exact.
+import os as _os
+
+BULK_BF16 = _os.environ.get("HANNOY_TPU_BULK_BF16", "0") == "1"
 
 
 @dataclass(frozen=True)
@@ -338,6 +348,10 @@ def block_distances(
         else:
             q = _deq(q, q_norm)
             c = _deq(c, c_norm)
+    if BULK_BF16 and c.dtype == jnp.float32:
+        # bulk candidate blocks: one bf16 MXU pass (see BULK_BF16 above)
+        q = q.astype(jnp.bfloat16)
+        c = c.astype(jnp.bfloat16)
     bf16 = c.dtype == jnp.bfloat16
     prec = None if bf16 else MATMUL_PRECISION
     if name == "cosine":

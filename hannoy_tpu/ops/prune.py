@@ -30,7 +30,16 @@ def pairwise_block(
     vecs: jax.Array,  # [B, K, D*]
     norms: jax.Array,  # [B, K]
 ) -> jax.Array:
-    """All-pairs distances within each row's candidate set → [B, K, K]."""
+    """All-pairs distances within each row's candidate set → [B, K, K].
+
+    With HANNOY_TPU_BULK_BF16=1 the f32 dot-metric einsums run one bf16
+    MXU pass (f32 accumulate) instead of Precision.HIGHEST's 3-6 passes.
+    The [B, K, K] block exists only to feed the α-prune's threshold test
+    (pair·α < cand_d) — a ~1e-3 relative error can flip decisions only
+    for near-tied candidates, which the prune treats as interchangeable.
+    This block is the FLOP-dominant leg of the 1M bulk connect
+    (~15 TFLOP at K=104), so the knob trades nothing measurable for a
+    multi-pass reduction; see BENCHMARKS.md round 4 for the A/B."""
     name = metric.name
     if vecs.dtype == jnp.int8:
         if name == "cosine":
@@ -38,6 +47,12 @@ def pairwise_block(
         else:
             # euclidean/manhattan int8 tier: norms carry per-row scales
             vecs = distances._deq(vecs, norms)
+    if (
+        distances.BULK_BF16
+        and vecs.dtype == jnp.float32
+        and name in ("cosine", "euclidean")
+    ):
+        vecs = vecs.astype(jnp.bfloat16)
     bf16 = vecs.dtype == jnp.bfloat16
     prec = None if bf16 else distances.MATMUL_PRECISION
     if name == "cosine":
