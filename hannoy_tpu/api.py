@@ -955,6 +955,22 @@ class QueryBuilder:
     def by_item_with_cancellation(self, item: int, cancel_fn) -> Optional[Searched]:
         return self._reader._nns_by_item(self, int(item), cancel_fn)
 
+    def by_items(self, items) -> list[Optional[Searched]]:
+        """Batched per-item lookup — one device program serves the whole
+        batch where the reference loops reader.rs:809-894 per item. Each
+        row runs the layer-0-only beam seeded at its own slot, excludes
+        itself from results, and honors every QueryBuilder option
+        (candidates filter, linear-scan fast path, ef). Missing items
+        yield ``None`` at their position."""
+        return self._reader._nns_by_items(self, items, _never_cancel)
+
+    def by_items_with_cancellation(self, items, cancel_fn) -> list[Optional[Searched]]:
+        """Batched + cancellable ``by_items``: the seeded filtered beam
+        runs in bounded chunks with ``cancel_fn`` probed between device
+        dispatches; on cancellation every present row returns its
+        pool-so-far with ``did_cancel=True`` (reader.rs:263-280)."""
+        return self._reader._nns_by_items(self, items, cancel_fn)
+
 
 class Reader:
     """Query handle over a built index (reference ``Reader``,
@@ -1079,6 +1095,31 @@ class Reader:
             searched = qb.by_vectors(queries)
         return [s.nns for s in searched]
 
+    def by_items(
+        self,
+        items,
+        n: int = 10,
+        ef_search: int = 200,
+        candidates=None,
+        cancel=None,
+    ) -> list[Optional[list[tuple[int, float]]]]:
+        """Batched per-item lookup — ``by_vecs``'s sibling for item ids.
+
+        One device program serves the whole batch (the reference loops
+        its by-item search per item, reader.rs:809-894); each row is
+        seeded at its own slot, excludes itself, and honors
+        ``candidates``/``cancel`` exactly like ``by_vecs``. Missing
+        items yield ``None`` at their position. For per-row ``Searched``
+        flags use ``reader.nns(n).by_items(...)``."""
+        qb = self.nns(n).ef_search(max(ef_search, n))
+        if candidates is not None:
+            qb = qb.candidates(candidates)
+        if cancel is not None:
+            searched = qb.by_items_with_cancellation(items, cancel)
+        else:
+            searched = qb.by_items(items)
+        return [None if s is None else s.nns for s in searched]
+
     # -- internals ----------------------------------------------------------
     def _prep_queries(self, queries: np.ndarray):
         queries = np.atleast_2d(queries)
@@ -1146,31 +1187,79 @@ class Reader:
 
     def _nns_by_item(self, opt: QueryBuilder, item: int, cancel_fn) -> Optional[Searched]:
         """Layer-0-only search seeded at the item, excluding it
-        (reader.rs:809-894)."""
-        item_ids = self.item_ids()
-        if not item_ids or (opt._candidates is not None and item_ids.isdisjoint(opt._candidates)):
-            return None
-        slot = self._graph.id_to_slot.get(int(item))
-        if slot is None:
-            return None
-        if opt._candidates is not None and self._should_linear_scan(opt):
-            vec = self.item_vector(item)
-            q, qn = self._prep_queries(np.asarray(vec, dtype=np.float32)[None, :])
-            return self._brute_force(q, qn, opt._candidates, opt._count, cancel_fn)[0]
+        (reader.rs:809-894) — the B=1 case of ``_nns_by_items``."""
+        return self._nns_by_items(opt, [item], cancel_fn)[0]
 
-        q = self._dev.vectors[slot][None, :]
-        qn = self._dev.norms[slot][None]
+    def _nns_by_items(
+        self, opt: QueryBuilder, items, cancel_fn
+    ) -> list[Optional[Searched]]:
+        """Batched per-item lookup (reference loops reader.rs:809-894 per
+        item; here the whole batch rides one device program).
+
+        Each present row seeds the layer-0 filtered beam at its own slot
+        — no descent; the item already lives where the search starts —
+        with the pool one wider than ``count`` so dropping the seed
+        itself host-side (reader.rs:839-842 excludes it) still leaves
+        ``count`` results. Missing items return ``None`` positionally.
+        """
+        items = [int(i) for i in items]
+        item_ids = self.item_ids()
+        out: list[Optional[Searched]] = [None] * len(items)
+        if not item_ids or (opt._candidates is not None and item_ids.isdisjoint(opt._candidates)):
+            return out
+        slots = [self._graph.id_to_slot.get(i) for i in items]
+        present = [b for b, s in enumerate(slots) if s is not None]
+        if not present:
+            return out
+        pslots = np.asarray([slots[b] for b in present], dtype=np.int32)
+        pitems = [items[b] for b in present]
+        q = self._dev.vectors[jnp.asarray(pslots)]
+        qn = self._dev.norms[jnp.asarray(pslots)]
+
+        if opt._candidates is not None and self._should_linear_scan(opt):
+            # Exact scan per row over candidates-minus-self (reader.rs:668-711).
+            base = self._candidate_mask(opt._candidates)
+            masks = np.broadcast_to(base, (len(present), self._graph.capacity)).copy()
+            masks[np.arange(len(present)), pslots] = False
+            if cancel_fn():
+                for b in present:
+                    out[b] = Searched([], True)
+                return out
+            k = min(opt._count, self._graph.capacity)
+            d, s = flat_topk(
+                self._metric.name, q, qn, self._dev.vectors, self._dev.norms,
+                jnp.asarray(masks), k,
+            )
+            rows = self._collect(_beam.BeamResult(d, s, jnp.int32(0)), opt._count)
+            for r, b in enumerate(present):
+                out[b] = Searched(rows[r], False)
+            return out
+
         cand = self._candidate_mask(opt._candidates)
         if cand is None:
             cand = np.asarray(self._graph.valid_mask()).copy()
-        cand[slot] = False  # exclude self (reader.rs:839-842)
-        ef = max(opt._ef, opt._count)
-        if cancel_fn():
-            return Searched([], True)
-        seeds = jnp.asarray(np.asarray([[slot]], dtype=np.int32))
-        res = _beam.beam_search_filtered(self._dev, q, qn, seeds, ef, jnp.asarray(cand))
-        searched = Searched(self._collect(res, opt._count)[0], False)
-        return self._top_up([searched], q, qn, opt, exclude={int(item)})[0]
+        ef = max(opt._ef, opt._count + 1)  # self may occupy one pool slot
+        seeds = jnp.asarray(pslots[:, None])
+        mask = jnp.asarray(cand)
+        if cancel_fn is _never_cancel:
+            res = _beam.beam_search_filtered(self._dev, q, qn, seeds, ef, mask)
+            cancelled = False
+        else:
+            res, cancelled = _beam.seeded_filtered_cancellable(
+                self._dev, q, qn, seeds, mask, ef, cancel_fn
+            )
+        rows = self._collect(res, opt._count + 1)
+        searched = []
+        for r in range(len(present)):
+            nns = [(i, d) for (i, d) in rows[r] if i != pitems[r]][: opt._count]
+            searched.append(Searched(nns, cancelled))
+        if not cancelled:
+            searched = self._top_up(
+                searched, q, qn, opt, exclude_rows=[{pitems[r]} for r in range(len(present))]
+            )
+        for r, b in enumerate(present):
+            out[b] = searched[r]
+        return out
 
     def _brute_force(self, q, qn, candidates: IdSet, count: int, cancel_fn) -> list[Searched]:
         """reader.rs:668-711 — exact scan over the candidate set (batched)."""
@@ -1237,26 +1326,40 @@ class Reader:
         return self._top_up(searched, q, qn, opt)
 
     def _top_up(
-        self, searched: list[Searched], q, qn, opt: QueryBuilder, exclude=frozenset()
+        self, searched: list[Searched], q, qn, opt: QueryBuilder,
+        exclude=frozenset(), exclude_rows=None,
     ) -> list[Searched]:
         """Degraded-search top-up (reader.rs:771-795): rows whose beam
         returned fewer than ``count`` results (trapped in a cyclic
         subgraph) finish with one batched exact scan over unseen items —
         on TPU the exact scan *is* the restart-visits loop's fixed point,
-        so we go straight there. Honors the candidates filter."""
+        so we go straight there. Honors the candidates filter.
+
+        ``exclude`` applies to every row; ``exclude_rows`` (list of sets,
+        one per row) gives each row its own exclusion — the batched
+        ``by_items`` path excludes each row's own item."""
         if opt._candidates is not None:
-            achievable = self.item_ids().intersection_len(opt._candidates)
-            achievable -= sum(
-                1
-                for e in exclude
-                if int(e) in opt._candidates and int(e) in self.item_ids()
-            )
+            base_achievable = self.item_ids().intersection_len(opt._candidates)
         else:
-            achievable = self.n_items() - sum(
-                1 for e in exclude if int(e) in self.item_ids()
-            )
-        want = min(opt._count, max(achievable, 0))
-        deficient = [b for b, s in enumerate(searched) if len(s.nns) < want]
+            base_achievable = self.n_items()
+
+        def _row_exclude(b: int):
+            return exclude_rows[b] if exclude_rows is not None else exclude
+
+        def _achievable(excl) -> int:
+            if opt._candidates is not None:
+                return base_achievable - sum(
+                    1
+                    for e in excl
+                    if int(e) in opt._candidates and int(e) in self.item_ids()
+                )
+            return base_achievable - sum(1 for e in excl if int(e) in self.item_ids())
+
+        deficient = [
+            b
+            for b, s in enumerate(searched)
+            if len(s.nns) < min(opt._count, max(_achievable(_row_exclude(b)), 0))
+        ]
         if not deficient:
             return searched
         base = self._candidate_mask(opt._candidates)
@@ -1264,7 +1367,7 @@ class Reader:
             base = np.asarray(self._graph.valid_mask()).copy()
         masks = np.broadcast_to(base, (len(deficient), self._graph.capacity)).copy()
         for r, b in enumerate(deficient):
-            for item in ({i for i, _ in searched[b].nns} | set(exclude)):
+            for item in ({i for i, _ in searched[b].nns} | set(_row_exclude(b))):
                 s = self._graph.id_to_slot.get(int(item))
                 if s is not None:
                     masks[r, s] = False

@@ -470,6 +470,57 @@ def _filtered_step(g, q, qn, node_ok, candidate_mask, ef: int, max_iters: int):
     return step, cond
 
 
+@partial(jax.jit, static_argnames=("ef",))
+def _seed_filtered_pools_jit(
+    g: DeviceGraph, q: jax.Array, qn: jax.Array, start: jax.Array,
+    candidate_mask: jax.Array, ef: int,
+):
+    """One-dispatch seeding for the chunked seeded filtered beam."""
+    return _filtered_seed_pools(g, q, qn, start, candidate_mask, g.valid, ef)
+
+
+def seeded_filtered_cancellable(
+    g: DeviceGraph,
+    q: jax.Array,
+    qn: jax.Array,
+    start: jax.Array,  # [B, S] seed slots (each row's own item slot)
+    candidate_mask: jax.Array,
+    ef: int,
+    cancel_fn,
+    max_iters: Optional[int] = None,
+    chunk: int = 16,
+) -> tuple[BeamResult, bool]:
+    """Layer-0-only filtered beam seeded at given slots, run in bounded
+    iteration chunks with ``cancel_fn`` probed between device dispatches
+    — the batched ``by_items`` path (the reference seeds the search at
+    the item's own neighborhood, reader.rs:809-894, and probes the
+    cancel per hop, reader.rs:263-280). No descent: by-item lookups
+    start where the item lives."""
+    if max_iters is None:
+        max_iters = 2 * ef + 16
+    B = q.shape[0]
+    if cancel_fn():
+        empty = BeamResult(
+            jnp.full((B, ef), INF), jnp.full((B, ef), NO_ID, dtype=jnp.int32), jnp.int32(0)
+        )
+        return empty, True
+    fr_d, fr_id, fr_exp, res_d, res_id, _ = _seed_filtered_pools_jit(
+        g, q, qn, start, candidate_mask, ef
+    )
+    total = 0
+    while total < max_iters:
+        if cancel_fn():
+            return BeamResult(res_d, res_id, jnp.int32(total)), True
+        step = min(chunk, max_iters - total)
+        fr_d, fr_id, fr_exp, res_d, res_id, it, active = _filtered_chunk(
+            g, q, qn, candidate_mask, fr_d, fr_id, fr_exp, res_d, res_id, ef, step
+        )
+        total += int(it)
+        if not bool(active):
+            break
+    return BeamResult(res_d, res_id, jnp.int32(total)), bool(cancel_fn())
+
+
 # --------------------------------------------------------------------------
 # Full hnsw_search: descent + layer-0 beam (reader.rs:722-800)
 # --------------------------------------------------------------------------

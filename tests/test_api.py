@@ -295,6 +295,90 @@ def test_batched_count_more_than_candidates(db, rng):
         assert set(ids) == set(cand)  # every candidate returned, none else
 
 
+def test_by_items_batched(db):
+    """Batched per-item lookup: one device program, self excluded per row,
+    missing items None positionally (reference loops reader.rs:809-894)."""
+    data = _fill(db, 200, 8)
+    reader = db.reader()
+    rows = reader.nns(5).ef_search(64).by_items([3, 999999, 7])
+    assert rows[1] is None
+    for b, item in [(0, 3), (2, 7)]:
+        ids = [i for i, _ in rows[b].nns]
+        assert item not in ids
+        assert len(ids) == 5
+        d = ((data - data[item]) ** 2).sum(1)
+        d[item] = np.inf
+        expect = set(np.argsort(d)[:5].tolist())
+        assert len(set(ids) & expect) >= 4
+        assert ids[0] == int(np.argmin(d))
+
+
+def test_by_items_filtered_exact(db, rng):
+    """by_items with a small candidate set takes the per-row linear scan
+    and must be exact, excluding self (reader.rs:668-711 + 839-842)."""
+    data = _fill(db, 300, 16)
+    reader = db.reader()
+    cand = sorted(rng.choice(300, size=20, replace=False).tolist())
+    items = [cand[0], 999999, cand[5]]
+    rows = reader.nns(5).candidates(cand).by_items(items)
+    assert rows[1] is None
+    for b, item in [(0, cand[0]), (2, cand[5])]:
+        ids = [i for i, _ in rows[b].nns]
+        assert item not in ids
+        assert set(ids) <= set(cand)
+        d = ((data[cand] - data[item]) ** 2).sum(1)
+        order = [cand[j] for j in np.argsort(d) if cand[j] != item]
+        assert ids == order[:5]
+
+
+def test_by_items_filtered_graph_path(db, rng):
+    data = _fill(db, 400, 16)
+    reader = db.reader()
+    cand = sorted(rng.choice(400, size=350, replace=False).tolist())
+    rows = (
+        reader.nns(10).ef_search(80).linear_below(10).candidates(cand)
+        .by_items([cand[0], cand[1]])
+    )
+    for b, item in [(0, cand[0]), (1, cand[1])]:
+        ids = [i for i, _ in rows[b].nns]
+        assert item not in ids
+        assert set(ids) <= set(cand)
+        assert len(ids) == 10
+
+
+def test_by_items_count_more_than_candidates(db, rng):
+    """Per-row top-up excludes each row's own item."""
+    _fill(db, 100, 8)
+    reader = db.reader()
+    cand = sorted(rng.choice(100, size=30, replace=False).tolist())
+    notc = next(i for i in range(100) if i not in cand)
+    rows = (
+        reader.nns(50).ef_search(64).linear_below(5).candidates(cand)
+        .by_items([cand[0], notc])
+    )
+    assert {i for i, _ in rows[0].nns} == set(cand) - {cand[0]}
+    assert {i for i, _ in rows[1].nns} == set(cand)
+
+
+def test_by_items_cancellation(db):
+    _fill(db, 200, 8)
+    reader = db.reader()
+    rows = reader.nns(10).by_items_with_cancellation([3, 999999, 7], lambda: True)
+    assert rows[1] is None
+    assert rows[0].did_cancel and rows[2].did_cancel
+
+
+def test_by_items_convenience(db):
+    """Reader.by_items mirrors Reader.by_vecs (python.rs-style surface)."""
+    _fill(db, 150, 8)
+    reader = db.reader()
+    rows = reader.by_items([3, 999999, 7], n=4, ef_search=64)
+    assert rows[1] is None
+    assert len(rows[0]) == 4 and len(rows[2]) == 4
+    assert all(isinstance(i, int) for i, _ in rows[0])
+    assert 3 not in [i for i, _ in rows[0]]
+
+
 def test_count_more_than_items(db):
     _fill(db, 10, 8)
     reader = db.reader()
