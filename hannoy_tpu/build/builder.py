@@ -937,8 +937,9 @@ def _chunked_candidates(
             ef=ef, chunk=step, is_level0=(level == 0), expand=expand,
             traverse_k=tk, tail_allow=tail_allow,
         )
+        it, active = jax.device_get((it, active))  # one tunnel RTT, not two
         total += int(it)
-        if not bool(active):
+        if not active:
             break
     return pool_id, pool_d, total
 

@@ -515,8 +515,9 @@ def seeded_filtered_cancellable(
         fr_d, fr_id, fr_exp, res_d, res_id, it, active = _filtered_chunk(
             g, q, qn, candidate_mask, fr_d, fr_id, fr_exp, res_d, res_id, ef, step
         )
+        it, active = jax.device_get((it, active))  # one tunnel RTT, not two
         total += int(it)
-        if not bool(active):
+        if not active:
             break
     return BeamResult(res_d, res_id, jnp.int32(total)), bool(cancel_fn())
 
@@ -718,8 +719,9 @@ def hnsw_search_cancellable(
         pool_d, pool_id, pool_exp, it, active = _beam_chunk(
             g, q, qn, pool_d, pool_id, pool_exp, ef, step
         )
+        it, active = jax.device_get((it, active))  # one tunnel RTT, not two
         total += int(it)
-        if not bool(active):
+        if not active:
             break
     return BeamResult(pool_d, pool_id, jnp.int32(total)), bool(cancel_fn())
 
@@ -795,8 +797,9 @@ def hnsw_search_filtered_cancellable(
         fr_d, fr_id, fr_exp, res_d, res_id, it, active = _filtered_chunk(
             g, q, qn, candidate_mask, fr_d, fr_id, fr_exp, res_d, res_id, ef, step
         )
+        it, active = jax.device_get((it, active))  # one tunnel RTT, not two
         total += int(it)
-        if not bool(active):
+        if not active:
             break
     return BeamResult(res_d, res_id, jnp.int32(total)), bool(cancel_fn())
 
