@@ -253,6 +253,7 @@ def main() -> None:
                 "build_vs_baseline": round(build_vps / base_build_vps, 2),
                 "build_cold_vs_baseline": round((n / build_cold_s) / base_build_vps, 2),
                 "sweep": {str(e): [round(r, 4), round(s, 1)] for e, (r, s) in results.items()},
+                **({"bulk_bf16": True} if distances.BULK_BF16 else {}),
                 "calib_pre": calib_pre,
                 "calib_post": chip_calibration(),
                 "device": str(jax.devices()[0]),
@@ -262,7 +263,7 @@ def main() -> None:
     # record the run (driver contract stays ONE stdout JSON line)
     if os.environ.get("HANNOY_BENCH_RECORD", "1") == "1":
         out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "benchmarks", "results_r4.jsonl")
+                           "benchmarks", "results_r5.jsonl")
         try:
             with open(out, "a") as f:
                 f.write(row + "\n")

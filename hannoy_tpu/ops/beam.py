@@ -508,10 +508,11 @@ def seeded_filtered_cancellable(
         g, q, qn, start, candidate_mask, ef
     )
     total = 0
+    step_cap = chunk
     while total < max_iters:
         if cancel_fn():
             return BeamResult(res_d, res_id, jnp.int32(total)), True
-        step = min(chunk, max_iters - total)
+        step = min(step_cap, max_iters - total)
         fr_d, fr_id, fr_exp, res_d, res_id, it, active = _filtered_chunk(
             g, q, qn, candidate_mask, fr_d, fr_id, fr_exp, res_d, res_id, ef, step
         )
@@ -519,6 +520,11 @@ def seeded_filtered_cancellable(
         total += int(it)
         if not active:
             break
+        # geometric chunk growth (cap 4x): each chunk dispatch pays a full
+        # tunnel RTT (~30 ms on axon), so long searches halve dispatches
+        # while early cancel probes stay responsive; sizes stay in
+        # {chunk, 2c, 4c} so the jit-variant set is bounded.
+        step_cap = min(step_cap * 2, 4 * chunk)
     return BeamResult(res_d, res_id, jnp.int32(total)), bool(cancel_fn())
 
 
@@ -712,10 +718,11 @@ def hnsw_search_cancellable(
         return empty, True
     pool_d, pool_id, pool_exp = _descend_and_seed(g, q, qn, ef, ef_upper)
     total = 0
+    step_cap = chunk
     while total < max_iters:
         if cancel_fn():
             return BeamResult(pool_d, pool_id, jnp.int32(total)), True
-        step = min(chunk, max_iters - total)
+        step = min(step_cap, max_iters - total)
         pool_d, pool_id, pool_exp, it, active = _beam_chunk(
             g, q, qn, pool_d, pool_id, pool_exp, ef, step
         )
@@ -723,6 +730,8 @@ def hnsw_search_cancellable(
         total += int(it)
         if not active:
             break
+        # geometric chunk growth (cap 4x) — see seeded_filtered_cancellable
+        step_cap = min(step_cap * 2, 4 * chunk)
     return BeamResult(pool_d, pool_id, jnp.int32(total)), bool(cancel_fn())
 
 
@@ -790,10 +799,11 @@ def hnsw_search_filtered_cancellable(
         g, q, qn, candidate_mask, ef, ef_upper
     )
     total = 0
+    step_cap = chunk
     while total < max_iters:
         if cancel_fn():
             return BeamResult(res_d, res_id, jnp.int32(total)), True
-        step = min(chunk, max_iters - total)
+        step = min(step_cap, max_iters - total)
         fr_d, fr_id, fr_exp, res_d, res_id, it, active = _filtered_chunk(
             g, q, qn, candidate_mask, fr_d, fr_id, fr_exp, res_d, res_id, ef, step
         )
@@ -801,6 +811,11 @@ def hnsw_search_filtered_cancellable(
         total += int(it)
         if not active:
             break
+        # geometric chunk growth (cap 4x): each chunk dispatch pays a full
+        # tunnel RTT (~30 ms on axon), so long searches halve dispatches
+        # while early cancel probes stay responsive; sizes stay in
+        # {chunk, 2c, 4c} so the jit-variant set is bounded.
+        step_cap = min(step_cap * 2, 4 * chunk)
     return BeamResult(res_d, res_id, jnp.int32(total)), bool(cancel_fn())
 
 
