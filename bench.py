@@ -150,6 +150,8 @@ def main() -> None:
     tail = float(os.environ.get("HANNOY_BENCH_TAIL", 0.05))
     trav = os.environ.get("HANNOY_BENCH_TRAVERSE")
     trav = int(trav) if trav else None
+    bulk_k = os.environ.get("HANNOY_BENCH_BULK_K")
+    bulk_k = int(bulk_k) if bulk_k else None
     rng = np.random.default_rng(42)
     # clustered synthetic data: mixture of gaussians, matching the local
     # structure of real embedding corpora (pure isotropic gaussian 768-d is
@@ -181,7 +183,7 @@ def main() -> None:
         return BuildOptions(
             ef_construction=efc, wave_size=wave, chain_seeding=chain,
             refine_iters=refine, beam_expand=expand, beam_iters=biters,
-            beam_tail_frac=tail, traverse=trav,
+            beam_tail_frac=tail, traverse=trav, bulk_k=bulk_k,
         )
 
     t0 = time.perf_counter()
@@ -199,7 +201,7 @@ def main() -> None:
     build_s = time.perf_counter() - t0
     build_vps = n / build_s
 
-    dev = to_device(g)
+    dev = to_device(g, serve_only=True)
     qp = codecs.pack(queries, metric.codec)
     q = jnp.asarray(qp)
     qn = jnp.asarray(distances.np_norms(metric, qp))
@@ -232,6 +234,25 @@ def main() -> None:
     if failed:
         chosen = max(ef_sweep)
     recall, qps = results[chosen]
+
+    # ---- B=1 per-query latency at the chosen ef (VERDICT r4 #4b). The
+    # reference's headline unit is ms/query (arroy_hannoy.md:20: 29.89 ms
+    # at 1M); batched QPS alone hides the serving tail. Fence via
+    # jax.device_get (block_until_ready is not reliable through the axon
+    # tunnel, CLAUDE.md); the ~30 ms dispatch RTT is part of the honest
+    # number here and reported separately in calib_pre.dispatch_rtt_ms.
+    lat_reps = int(os.environ.get("HANNOY_BENCH_LAT_REPS", 30))
+    efu1 = beam.default_ef_upper(n, chosen)
+    jax.device_get(beam.hnsw_search(dev, q[:1], qn[:1], chosen, ef_upper=efu1).dists)
+    lats = []
+    for i in range(lat_reps):
+        j = i % n_queries
+        t0 = time.perf_counter()
+        r1 = beam.hnsw_search(dev, q[j : j + 1], qn[j : j + 1], chosen, ef_upper=efu1)
+        jax.device_get(r1.dists)
+        lats.append((time.perf_counter() - t0) * 1000.0)
+    lat_p50 = float(np.percentile(lats, 50))
+    lat_p99 = float(np.percentile(lats, 99))
     base_build_vps, base_qps = baseline_for(metric.name, n)
     name = f"qps_at_recall10_{RECALL_BAR}_{metric.name.replace(' ', '-')}_{n}x{d}"
     if failed:
@@ -253,7 +274,13 @@ def main() -> None:
                 "build_vs_baseline": round(build_vps / base_build_vps, 2),
                 "build_cold_vs_baseline": round((n / build_cold_s) / base_build_vps, 2),
                 "sweep": {str(e): [round(r, 4), round(s, 1)] for e, (r, s) in results.items()},
-                **({"bulk_bf16": True} if distances.BULK_BF16 else {}),
+                "latency_b1_p50_ms": round(lat_p50, 2),
+                "latency_b1_p99_ms": round(lat_p99, 2),
+                # reference latency row nearest in log-N (ms/query)
+                "latency_vs_baseline": round((1000.0 / base_qps) / lat_p50, 2),
+                # always emitted (true OR false) so rows are unambiguous
+                # about the flag state they ran under (ADVICE r4)
+                "bulk_bf16": distances.BULK_BF16,
                 "calib_pre": calib_pre,
                 "calib_post": chip_calibration(),
                 "device": str(jax.devices()[0]),

@@ -103,7 +103,7 @@ def main() -> None:
         if b == 0:
             build_cold_s = build_s
 
-    dev = to_device(g)
+    dev = to_device(g, serve_only=True)
     qp = codecs.pack(queries, metric.codec)
     q = jnp.asarray(qp)
     qn = jnp.asarray(distances.np_norms(metric, qp))

@@ -665,7 +665,7 @@ def ep_pad(n: int) -> int:
 
 def to_device(
     g: HostGraph, max_entry_points: int | None = None, link_slack: int = 0,
-    cache: bool = True,
+    cache: bool = True, serve_only: bool = False,
 ) -> DeviceGraph:
     """Upload a host graph into HBM arrays (the Reader::open / prefetch
     analogue — reference reader.rs:446-543 madvises pages; we materialise
@@ -795,13 +795,24 @@ def to_device(
         dists0_h = np.concatenate(
             [dists0_h, np.full((g.capacity, link_slack), np.inf, dtype=np.float32)], axis=1
         )
+    if serve_only:
+        # Search never reads link distances: the beam ranks neighbors by
+        # freshly computed query distances; dists0/upper_dists exist only
+        # for the builders' prune/merge. Readers upload placeholders —
+        # at the 10M×768 8-shard serving config that returns ~2 GB of HBM
+        # (the >1-chip-HBM story, arroy_hannoy.md:21 parity run).
+        dists0_dev = jnp.zeros((1, 1), dtype=jnp.float32)
+        ud_dev = jnp.zeros((1, 1, 1), dtype=jnp.float32)
+    else:
+        dists0_dev = jnp.asarray(dists0_h)
+        ud_dev = jnp.asarray(ud)
     return DeviceGraph(
         vectors=vectors_dev,
         norms=norms_dev,
         links0=jnp.asarray(links0_h),
-        dists0=jnp.asarray(dists0_h),
+        dists0=dists0_dev,
         upper_links=jnp.asarray(up),
-        upper_dists=jnp.asarray(ud),
+        upper_dists=ud_dev,
         slot_rows=jnp.asarray(sr),
         entry_slots=jnp.asarray(eps),
         valid=jnp.asarray(g.valid_mask()),

@@ -218,6 +218,27 @@ class BeamResult(NamedTuple):
     dists: jax.Array  # [B, ef] ascending, +inf padded
     slots: jax.Array  # [B, ef] slot ids, -1 padded
     iters: jax.Array  # [] total loop iterations executed
+    #: [B] bool — rows still improving when the loop exited (the
+    #: reference's continuation test hnsw.rs:483-487 evaluated rowwise on
+    #: the final pool). True means the iteration cap / tail allowance /
+    #: cancel cut this row off before natural termination; None when the
+    #: producer had no loop (exact scans, synthetic results).
+    active: Optional[jax.Array] = None
+
+
+def _rows_active(pool_d: jax.Array, pool_id: jax.Array, pool_exp: jax.Array) -> jax.Array:
+    """Per-row continuation test on a beam pool → [B] bool."""
+    unexp_d = jnp.where((pool_exp == 0) & (pool_id != NO_ID), pool_d, INF)
+    best_d = jnp.min(unexp_d, axis=-1)
+    return (best_d <= pool_d[:, -1]) & (best_d < INF)
+
+
+def _filtered_rows_active(fr_d, fr_id, fr_exp, res_d) -> jax.Array:
+    """Filtered-beam rowwise continuation: frontier's best unexpanded vs
+    the *result* pool's worst (reader.rs:329-336)."""
+    unexp_d = jnp.where((fr_exp == 0) & (fr_id != NO_ID), fr_d, INF)
+    best_d = jnp.min(unexp_d, axis=-1)
+    return (best_d <= res_d[:, -1]) & (best_d < INF)
 
 
 def beam_search(
@@ -280,7 +301,7 @@ def beam_search(
     pool_d, pool_id, pool_exp, iters = jax.lax.while_loop(
         cond, body, (pool_d, pool_id, pool_exp, jnp.int32(0))
     )
-    return BeamResult(pool_d, pool_id, iters)
+    return BeamResult(pool_d, pool_id, iters, _rows_active(pool_d, pool_id, pool_exp))
 
 
 def _seed_pool(g: DeviceGraph, q, qn, start, ef: int, node_ok):
@@ -397,7 +418,9 @@ def beam_search_filtered(
     state = _filtered_seed_pools(g, q, qn, start, candidate_mask, node_ok, ef)
     step, cond = _filtered_step(g, q, qn, node_ok, candidate_mask, ef, max_iters)
     fr_d, fr_id, fr_exp, res_d, res_id, iters = jax.lax.while_loop(cond, step, state)
-    return BeamResult(res_d, res_id, iters)
+    return BeamResult(
+        res_d, res_id, iters, _filtered_rows_active(fr_d, fr_id, fr_exp, res_d)
+    )
 
 
 def _filtered_seed_pools(g, q, qn, start, candidate_mask, node_ok, ef: int):
@@ -509,23 +532,31 @@ def seeded_filtered_cancellable(
     )
     total = 0
     step_cap = chunk
+    row_act = None
     while total < max_iters:
         if cancel_fn():
-            return BeamResult(res_d, res_id, jnp.int32(total)), True
+            return BeamResult(res_d, res_id, jnp.int32(total), row_act), True
+        # snap the tail into the bucket set: once the remaining budget is
+        # smaller than the grown cap, fall back to base-``chunk`` steps, so
+        # only {c, 2c, 4c} plus at most one max_iters-mod-c tail size ever
+        # compile — ef-dependent tail values each cost a fresh multi-minute
+        # cold axon compile (ADVICE r4).
+        if step_cap > max_iters - total:
+            step_cap = chunk
         step = min(step_cap, max_iters - total)
-        fr_d, fr_id, fr_exp, res_d, res_id, it, active = _filtered_chunk(
+        fr_d, fr_id, fr_exp, res_d, res_id, it, row_act = _filtered_chunk(
             g, q, qn, candidate_mask, fr_d, fr_id, fr_exp, res_d, res_id, ef, step
         )
-        it, active = jax.device_get((it, active))  # one tunnel RTT, not two
+        it, row_act = jax.device_get((it, row_act))  # one tunnel RTT, not two
         total += int(it)
-        if not active:
+        if not row_act.any():
             break
         # geometric chunk growth (cap 4x): each chunk dispatch pays a full
         # tunnel RTT (~30 ms on axon), so long searches halve dispatches
         # while early cancel probes stay responsive; sizes stay in
         # {chunk, 2c, 4c} so the jit-variant set is bounded.
         step_cap = min(step_cap * 2, 4 * chunk)
-    return BeamResult(res_d, res_id, jnp.int32(total)), bool(cancel_fn())
+    return BeamResult(res_d, res_id, jnp.int32(total), row_act), bool(cancel_fn())
 
 
 # --------------------------------------------------------------------------
@@ -624,17 +655,15 @@ def _beam_chunk(
 ):
     """Run at most ``chunk`` beam iterations from a saved pool.
 
-    Returns (pool..., iters_done, still_active) — the host polls cancel
+    Returns (pool..., iters_done, row_active [B]) — the host polls cancel
     between chunks (reference Visitor probes cancel_fn per hop,
-    reader.rs:301-369; a chunk is the TPU-granular 'hop')."""
+    reader.rs:301-369; a chunk is the TPU-granular 'hop'); ``row_active``
+    feeds the per-row ``Searched.truncated`` flags."""
     body, cond = _beam_step(g, q, qn, g.valid, ef, 1, 0, chunk)
     pool_d, pool_id, pool_exp, it = jax.lax.while_loop(
         cond, body, (pool_d, pool_id, pool_exp, jnp.int32(0))
     )
-    unexp_d = jnp.where((pool_exp == 0) & (pool_id != NO_ID), pool_d, INF)
-    best_d = jnp.min(unexp_d, axis=-1)
-    active = jnp.any((best_d <= pool_d[:, -1]) & (best_d < INF))
-    return pool_d, pool_id, pool_exp, it, active
+    return pool_d, pool_id, pool_exp, it, _rows_active(pool_d, pool_id, pool_exp)
 
 
 @partial(
@@ -719,20 +748,28 @@ def hnsw_search_cancellable(
     pool_d, pool_id, pool_exp = _descend_and_seed(g, q, qn, ef, ef_upper)
     total = 0
     step_cap = chunk
+    row_act = None
     while total < max_iters:
         if cancel_fn():
-            return BeamResult(pool_d, pool_id, jnp.int32(total)), True
+            return BeamResult(pool_d, pool_id, jnp.int32(total), row_act), True
+        # snap the tail into the bucket set: once the remaining budget is
+        # smaller than the grown cap, fall back to base-``chunk`` steps, so
+        # only {c, 2c, 4c} plus at most one max_iters-mod-c tail size ever
+        # compile — ef-dependent tail values each cost a fresh multi-minute
+        # cold axon compile (ADVICE r4).
+        if step_cap > max_iters - total:
+            step_cap = chunk
         step = min(step_cap, max_iters - total)
-        pool_d, pool_id, pool_exp, it, active = _beam_chunk(
+        pool_d, pool_id, pool_exp, it, row_act = _beam_chunk(
             g, q, qn, pool_d, pool_id, pool_exp, ef, step
         )
-        it, active = jax.device_get((it, active))  # one tunnel RTT, not two
+        it, row_act = jax.device_get((it, row_act))  # one tunnel RTT, not two
         total += int(it)
-        if not active:
+        if not row_act.any():
             break
         # geometric chunk growth (cap 4x) — see seeded_filtered_cancellable
         step_cap = min(step_cap * 2, 4 * chunk)
-    return BeamResult(pool_d, pool_id, jnp.int32(total)), bool(cancel_fn())
+    return BeamResult(pool_d, pool_id, jnp.int32(total), row_act), bool(cancel_fn())
 
 
 @partial(jax.jit, static_argnames=("ef", "ef_upper"))
@@ -761,14 +798,15 @@ def _filtered_chunk(
     ef: int,
     chunk: int,
 ):
-    """At most ``chunk`` filtered-beam iterations from saved pools."""
+    """At most ``chunk`` filtered-beam iterations from saved pools.
+    The last element is per-row activity [B] (see ``_beam_chunk``)."""
     step, cond = _filtered_step(g, q, qn, g.valid, candidate_mask, ef, chunk)
     state = (fr_d, fr_id, fr_exp, res_d, res_id, jnp.int32(0))
     fr_d, fr_id, fr_exp, res_d, res_id, it = jax.lax.while_loop(cond, step, state)
-    unexp_d = jnp.where((fr_exp == 0) & (fr_id != NO_ID), fr_d, INF)
-    best_d = jnp.min(unexp_d, axis=-1)
-    active = jnp.any((best_d <= res_d[:, -1]) & (best_d < INF))
-    return fr_d, fr_id, fr_exp, res_d, res_id, it, active
+    return (
+        fr_d, fr_id, fr_exp, res_d, res_id, it,
+        _filtered_rows_active(fr_d, fr_id, fr_exp, res_d),
+    )
 
 
 def hnsw_search_filtered_cancellable(
@@ -800,23 +838,31 @@ def hnsw_search_filtered_cancellable(
     )
     total = 0
     step_cap = chunk
+    row_act = None
     while total < max_iters:
         if cancel_fn():
-            return BeamResult(res_d, res_id, jnp.int32(total)), True
+            return BeamResult(res_d, res_id, jnp.int32(total), row_act), True
+        # snap the tail into the bucket set: once the remaining budget is
+        # smaller than the grown cap, fall back to base-``chunk`` steps, so
+        # only {c, 2c, 4c} plus at most one max_iters-mod-c tail size ever
+        # compile — ef-dependent tail values each cost a fresh multi-minute
+        # cold axon compile (ADVICE r4).
+        if step_cap > max_iters - total:
+            step_cap = chunk
         step = min(step_cap, max_iters - total)
-        fr_d, fr_id, fr_exp, res_d, res_id, it, active = _filtered_chunk(
+        fr_d, fr_id, fr_exp, res_d, res_id, it, row_act = _filtered_chunk(
             g, q, qn, candidate_mask, fr_d, fr_id, fr_exp, res_d, res_id, ef, step
         )
-        it, active = jax.device_get((it, active))  # one tunnel RTT, not two
+        it, row_act = jax.device_get((it, row_act))  # one tunnel RTT, not two
         total += int(it)
-        if not active:
+        if not row_act.any():
             break
         # geometric chunk growth (cap 4x): each chunk dispatch pays a full
         # tunnel RTT (~30 ms on axon), so long searches halve dispatches
         # while early cancel probes stay responsive; sizes stay in
         # {chunk, 2c, 4c} so the jit-variant set is bounded.
         step_cap = min(step_cap * 2, 4 * chunk)
-    return BeamResult(res_d, res_id, jnp.int32(total)), bool(cancel_fn())
+    return BeamResult(res_d, res_id, jnp.int32(total), row_act), bool(cancel_fn())
 
 
 @partial(jax.jit, static_argnames=("ef", "max_iters", "ef_upper"))

@@ -47,14 +47,18 @@ _EPS = np.float32(1.1920929e-07)  # f32::EPSILON
 #: dense blocks are compute-bound and opt into one-pass bf16 below).
 MATMUL_PRECISION = jax.lax.Precision.HIGHEST
 
-#: HANNOY_TPU_BULK_BF16=1: the bulk builder's compute-bound dense blocks
-#: (candidate generation block_distances, α-prune pairwise_block) run
-#: their f32 dot-metric matmuls as one bf16 MXU pass with f32 accumulate
-#: instead of HIGHEST's 3-6 passes. Candidate lists and prune decisions
-#: shift only for near-ties; search-path distances stay exact.
+#: HANNOY_TPU_BULK_BF16 (default ON since round 5): the bulk builder's
+#: compute-bound dense blocks (candidate generation block_distances,
+#: α-prune pairwise_block) run their f32 dot-metric matmuls as one bf16
+#: MXU pass with f32 accumulate instead of HIGHEST's 3-6 passes.
+#: Candidate lists and prune decisions shift only for near-ties;
+#: search-path distances stay exact. A/B evidence: CPU 20k recall-
+#: identical (round 4); 1M×768 chip A/B r@10 0.9957 vs 0.9953 at ef=50
+#: (benchmarks/logs/m1_bf16on_r5.log vs results_r4.jsonl). Set =0 to
+#: restore the HIGHEST-precision bulk path.
 import os as _os
 
-BULK_BF16 = _os.environ.get("HANNOY_TPU_BULK_BF16", "0") == "1"
+BULK_BF16 = _os.environ.get("HANNOY_TPU_BULK_BF16", "1") == "1"
 
 
 @dataclass(frozen=True)

@@ -100,6 +100,12 @@ class ShardedWriter:
             for w in self._writers:
                 if w.need_build():
                     w.builder().build(**kw)
+                    if self.n_shards > 1:
+                        # one chip serves the shards sequentially: drop the
+                        # finished shard's HBM vector cache so peak HBM is
+                        # ~one shard, not S (10M×768 f32 = 30.7 GB total,
+                        # far beyond one chip — the >HBM configuration)
+                        w.release_device_cache()
 
     def __enter__(self) -> "ShardedWriter":
         return self

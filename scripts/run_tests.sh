@@ -14,7 +14,8 @@ cd "$(dirname "$0")/.."
 # heavy file across processes — the segfault is per-process compile
 # count, so splits track test growth)
 CHUNKS=(
-  "tests/test_api.py"
+  "tests/test_api.py -k 'cancel or filter or candidate or by_item or migrat or convert'"
+  "tests/test_api.py -k 'not (cancel or filter or candidate or by_item or migrat or convert)'"
   "tests/test_beam.py tests/test_codecs.py tests/test_distances.py"
   "tests/test_builder.py -k 'not (int8 or bf16 or chain or cancel)'"
   "tests/test_builder.py -k 'int8 or bf16 or chain or cancel'"

@@ -201,3 +201,59 @@ def test_reshard_overlap_rejected(tmp_path, rng):
         w.add_items(range(64), np.random.default_rng(0).standard_normal((64, d)).astype(np.float32))
     with pytest.raises(ValueError):
         reshard(db, 2, 4, new_base_index=1)
+
+
+def test_sharded_recall_parity_vs_single_graph(mesh, rng):
+    """Sharded search must match a single-graph index on the SAME data at
+    equal ef (VERDICT r4 weak #6): a shard-merge ranking bug that costs a
+    few recall points would pass the absolute-bar tests above. Clustered
+    data (the bench.py corpus shape) at a non-trivial size."""
+    from hannoy_tpu.build.builder import build_graph
+    from hannoy_tpu.models.hnsw import HostGraph, slot_capacity, to_device
+    from hannoy_tpu.ops import beam, codecs, distances
+
+    n, d, k, ef = 16384, 32, 10, 64
+    n_clusters = 64
+    centers = rng.standard_normal((n_clusters, d)).astype(np.float32) * 4.0
+    assign = rng.integers(0, n_clusters, size=n)
+    data = (centers[assign] + rng.standard_normal((n, d))).astype(np.float32)
+    nq = 128
+    q_assign = rng.integers(0, n_clusters, size=nq)
+    queries = (centers[q_assign] + rng.standard_normal((nq, d))).astype(np.float32)
+    exact = np.sort(((data[None] - queries[:, None]) ** 2).sum(-1), axis=1)[:, :k]
+    thresh = exact[:, k - 1 : k] + 1e-5
+
+    opts = BuildOptions(ef_construction=48, wave_size=1024)
+
+    # single-graph oracle
+    metric = EUCLIDEAN
+    g = HostGraph.empty(metric, d, 8, 16, capacity=slot_capacity(n))
+    packed = codecs.pack(data, metric.codec)
+    for i in range(n):
+        g.alloc_slot(i)
+    g.vectors[:n] = packed
+    g.norms[:n] = distances.np_norms(metric, packed)
+    build_graph(g, np.arange(n, dtype=np.int64), np.empty(0, dtype=np.int64), opts)
+    dev = to_device(g)
+    import jax.numpy as jnp
+
+    qp = codecs.pack(queries, metric.codec)
+    qj = jnp.asarray(qp)
+    qnj = jnp.asarray(distances.np_norms(metric, qp))
+    res = beam.hnsw_search(dev, qj, qnj, ef, ef_upper=beam.default_ef_upper(n, ef))
+    rec_single = float((np.asarray(res.dists)[:, :k] <= thresh).mean())
+
+    # 8-shard index over the identical data
+    idx = build_sharded(
+        metric, data, np.arange(n), m=8, m0=16, n_shards=8, opts=opts, mesh=mesh,
+    )
+    _, dists = idx.search(queries, k=k, ef=ef)
+    rec_sharded = float((dists <= thresh).mean())
+
+    # the sharded merge may not cost recall: each shard searches an
+    # n/8-item sub-graph, so per-shard recall at equal ef is, if anything,
+    # easier — parity within epsilon catches merge-ranking defects
+    assert rec_sharded >= rec_single - 0.02, (
+        f"sharded {rec_sharded:.4f} vs single {rec_single:.4f}"
+    )
+    assert rec_single >= 0.9, f"oracle recall {rec_single}"
