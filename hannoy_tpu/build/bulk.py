@@ -157,8 +157,28 @@ def _kmeans_step(
             d = c2[None, :] - 2.0 * dots
         else:
             x = raw.astype(jnp.float32)
-            xn = norms[jnp.maximum(sl, 0)]
-            d = distances.matrix_distances(metric, x, xn, centroids, cn)  # [chunk, C]
+            if distances.BULK_BF16 and metric.name in ("cosine", "euclidean"):
+                # assignment needs only argmin over c — drop the per-row
+                # constant terms and ride one bf16 MXU pass (f32 accum).
+                # cosine: argmin (1-cos)/2 == argmax dot/cn; euclidean:
+                # argmin |x|²+c²-2xc == argmin c²-2xc. bf16 flips only
+                # near-tied assignments (same policy as pairwise_block).
+                dots = jnp.einsum(
+                    "bd,cd->bc", x.astype(jnp.bfloat16),
+                    centroids.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+                if metric.name == "cosine":
+                    d = -dots / jnp.maximum(cn, 1.1920929e-07)[None, :]
+                else:
+                    c2 = jnp.einsum(
+                        "cd,cd->c", centroids, centroids,
+                        preferred_element_type=jnp.float32,
+                    )
+                    d = c2[None, :] - 2.0 * dots
+            else:
+                xn = norms[jnp.maximum(sl, 0)]
+                d = distances.matrix_distances(metric, x, xn, centroids, cn)  # [chunk, C]
         a = jnp.argmin(d, axis=-1).astype(jnp.int32)
         oh = jax.nn.one_hot(a, C, dtype=jnp.float32) * ok[:, None]
         sums = sums + jnp.einsum(
@@ -197,12 +217,20 @@ def _maxmin_indices(geom: jax.Array, C: int) -> jax.Array:
     matvec FLOPs — seconds at S=128k, C=4k, D=768 on one v5e.
     """
     S = geom.shape[0]
+    if distances.BULK_BF16:
+        # each step streams the whole sample from HBM — bf16 halves the
+        # bandwidth of the selection loop; picks shift only for near-ties
+        geom = geom.astype(jnp.bfloat16)
     g2 = jnp.einsum("sd,sd->s", geom, geom, preferred_element_type=jnp.float32)
 
     def body(j, state):
         min_d2, idxs = state
         last = geom[idxs[j - 1]]
-        d2 = g2 - 2.0 * (geom @ last) + jnp.dot(last, last)
+        d2 = (
+            g2
+            - 2.0 * jnp.einsum("sd,d->s", geom, last, preferred_element_type=jnp.float32)
+            + jnp.einsum("d,d->", last, last, preferred_element_type=jnp.float32)
+        )
         min_d2 = jnp.minimum(min_d2, d2)
         nxt = jnp.argmax(min_d2).astype(jnp.int32)
         return min_d2, idxs.at[j].set(nxt)
@@ -373,7 +401,15 @@ def _cluster_candidates_jit(
         d = jnp.where((cols >= 0)[:, None, :], d, INF)
         d = jnp.where(cols[:, None, :] == sl[:, :, None], INF, d)  # self
         d = jnp.where((sl >= 0)[:, :, None], d, INF)  # padded rows
-        neg, idx = jax.lax.top_k(-d.reshape(G * S, A * S), K)
+        if CAND_APPROX:
+            # TPU-optimized binned top-k (same trade as the flat routing
+            # path's _FLAT_APPROX_MIN_U switch — deterministic, ~4x faster
+            # at these shapes); candidate lists lose only near-tie tails
+            neg, idx = jax.lax.approx_max_k(
+                -d.reshape(G * S, A * S), K, recall_target=0.95
+            )
+        else:
+            neg, idx = jax.lax.top_k(-d.reshape(G * S, A * S), K)
         flat_cols = jnp.repeat(cols, S, axis=0).reshape(G * S, A * S)
         cids = jnp.take_along_axis(flat_cols, idx, axis=-1)
         cids = jnp.where(jnp.isfinite(-neg), cids, NO_ID)
@@ -558,6 +594,10 @@ def layer_candidates(
             G=G,
             n_steps=tab_pos.shape[0] // G,
         )
+        from . import builder as _builder_mod
+
+        if _builder_mod._FENCE_WAVES:
+            jax.block_until_ready(d)
     return ids, d, order, (x_src.reshape(-1), x_dst.reshape(-1), x_d.reshape(-1))
 
 
@@ -715,6 +755,43 @@ def _connect_pass2_jit(
 
 @partial(
     jax.jit,
+    static_argnames=("is_level0", "cap", "alpha", "inc_cap"),
+    donate_argnames=("g", "dirty", "counters"),
+)
+def _connect_pass2_global_jit(
+    g: DeviceGraph,
+    member_slots,
+    fwd_ids,  # [n_pad, cap] pass-1 selections, position-aligned
+    fwd_d,
+    level,
+    dirty,
+    counters,
+    is_level0: bool,
+    cap: int,
+    alpha: float,
+    inc_cap: int,
+):
+    """Global reverse merge: one (dst, distance) sort over every reverse
+    edge of the layer, each destination merged exactly once with its
+    nearest ``inc_cap`` incoming edges (wave_ops.reverse_merge_edges_streamed
+    — why-global rationale and the hnsw.rs:523-560 parity note live
+    there). Replaces the chunked pass-2 fori for non-cancellable bulk
+    builds: 42 s → single-digit seconds at 1M×768 (round-5 trace)."""
+    lvl = 0 if is_level0 else level
+    g, counters, u_dst = wave_ops.reverse_merge_edges_streamed(
+        g, lvl, member_slots, fwd_ids, fwd_d, counters, cap, alpha, inc_cap
+    )
+    dirty = dirty.at[jnp.where(u_dst != NO_ID, u_dst, g.capacity)].set(
+        True, mode="drop"
+    )
+    dirty = dirty.at[jnp.where(member_slots >= 0, member_slots, g.capacity)].set(
+        True, mode="drop"
+    )
+    return g, dirty, counters
+
+
+@partial(
+    jax.jit,
     static_argnames=("cap", "n_steps", "chunk"),
     donate_argnames=("g", "dirty", "counters"),
 )
@@ -753,6 +830,18 @@ def _connect_pass3_jit(
 #: host-probed steps per device dispatch when the build is cancellable
 CANCEL_CONNECT_STEPS = 8
 
+#: HANNOY_TPU_GLOBAL_MERGE (default on): non-cancellable bulk builds run
+#: the reverse merge as ONE global sorted pass over all edges
+#: (_connect_pass2_global_jit) instead of 4096-source chunks. =0 restores
+#: the chunked pass for A/B.
+GLOBAL_MERGE = _os.environ.get("HANNOY_TPU_GLOBAL_MERGE", "1") == "1"
+
+#: HANNOY_TPU_CAND_APPROX (default off): cluster-block candidate top-K
+#: via lax.approx_max_k instead of exact lax.top_k — pending a chip
+#: recall A/B at 1M (candidate recall is the quantity the round-4
+#: collapse taught us to guard).
+CAND_APPROX = _os.environ.get("HANNOY_TPU_CAND_APPROX", "0") == "1"
+
 
 def _bulk_connect(
     dev: DeviceGraph,
@@ -783,21 +872,39 @@ def _bulk_connect(
     lvl_j = jnp.int32(level)
 
     if cancel is None:
-        dev, fwd_ids, fwd_d, counters = _connect_pass1_jit(
-            dev, member_j, cand_ids, cand_d, lvl_j, counters,
-            is_level0=is_level0, cap=cap, alpha=alpha, K=K,
-            n_steps=n_steps, chunk=chunk,
-        )
-        dev, dirty, counters = _connect_pass2_jit(
-            dev, member_j, fwd_ids, fwd_d, lvl_j, dirty, counters,
-            is_level0=is_level0, cap=cap, alpha=alpha,
-            n_steps=n_steps, chunk=chunk,
-        )
-        if is_level0:
-            dev, dirty, counters = _connect_pass3_jit(
-                dev, member_j, fwd_ids, fwd_d, dirty, counters,
-                cap=cap, n_steps=n_steps, chunk=chunk,
+        from . import builder as _builder_mod
+
+        fence = _builder_mod._FENCE_WAVES
+        with span("connect_pass1", level=level, n=n_pad, K=K):
+            dev, fwd_ids, fwd_d, counters = _connect_pass1_jit(
+                dev, member_j, cand_ids, cand_d, lvl_j, counters,
+                is_level0=is_level0, cap=cap, alpha=alpha, K=K,
+                n_steps=n_steps, chunk=chunk,
             )
+            if fence:
+                jax.block_until_ready(counters)
+        with span("connect_pass2", level=level, n=n_pad, glob=int(GLOBAL_MERGE)):
+            if GLOBAL_MERGE:
+                dev, dirty, counters = _connect_pass2_global_jit(
+                    dev, member_j, fwd_ids, fwd_d, lvl_j, dirty, counters,
+                    is_level0=is_level0, cap=cap, alpha=alpha, inc_cap=cap,
+                )
+            else:
+                dev, dirty, counters = _connect_pass2_jit(
+                    dev, member_j, fwd_ids, fwd_d, lvl_j, dirty, counters,
+                    is_level0=is_level0, cap=cap, alpha=alpha,
+                    n_steps=n_steps, chunk=chunk,
+                )
+            if fence:
+                jax.block_until_ready(counters)
+        if is_level0:
+            with span("connect_pass3", n=n_pad):
+                dev, dirty, counters = _connect_pass3_jit(
+                    dev, member_j, fwd_ids, fwd_d, dirty, counters,
+                    cap=cap, n_steps=n_steps, chunk=chunk,
+                )
+                if fence:
+                    jax.block_until_ready(counters)
         return dev, dirty, counters
 
     # cancellable: slice the member range into fixed-shape groups so the

@@ -702,6 +702,156 @@ def _reverse_prune_overflow(g, level, u_dst, inc_ids, inc_d, over_pos, counters,
     )
 
 
+def reverse_merge_edges_streamed(
+    g: DeviceGraph,
+    level,
+    src_slots: jax.Array,  # [n_pad] edge sources (-1 padded)
+    sel_ids: jax.Array,  # [n_pad, cap] each source's selected destinations
+    sel_d: jax.Array,  # [n_pad, cap]
+    counters: jax.Array,
+    cap: int,
+    alpha: float,
+    inc_cap: int,
+) -> tuple[DeviceGraph, jax.Array, jax.Array]:
+    """Global single-pass variant of :func:`reverse_merge_edges` for the
+    bulk connector: ONE sort over ALL reverse edges of the build, then the
+    same cheap-merge / overflow-prune phases streamed over *segments* of
+    the sorted edge list instead of materialized ``[E, inc_cap]`` tables
+    (at 1M×cap=32 the edge list is ~32M entries — materializing per-edge
+    incoming tables would cost ~5 GB of HBM, while three sorted [E]
+    columns cost ~0.4 GB).
+
+    Why global: the chunked pass merges 4096-source slices sequentially,
+    so each of ~244 slices pays its own sort plus ~n_unique/CH while-loop
+    steps, and destinations shared across slices are re-merged every time
+    (~7k sequential device steps at 1M — 42 s of the round-5 trace). One
+    global pass touches every destination exactly once: ~n_unique/CH +
+    n_over/CH steps total (~0.7k), one 32M-row sort amortized across the
+    whole build. Each destination receives its ``inc_cap`` *nearest*
+    incoming edges (the sort is by (dst, distance)) instead of the
+    nearest-16-per-slice union — edges beyond rank inc_cap=cap would lose
+    the α-prune against nearer incoming anyway (add_link semantics,
+    hnsw.rs:523-560: the reference itself drops incoming edges on
+    overflow).
+
+    Returns (graph, counters, u_dst [capacity+1] unique destinations,
+    NO_ID padded) for dirty tracking.
+    """
+    E = src_slots.shape[0] * cap
+    dst = sel_ids.reshape(-1)
+    src = jnp.repeat(src_slots, cap)
+    rd = sel_d.reshape(-1)
+    ok = (dst != NO_ID) & (src != NO_ID)
+    sort_dst = jnp.where(ok, dst, jnp.int32(2**30))
+    sort_dst, rd_s, src_s, dst_s = jax.lax.sort(
+        (sort_dst, rd, src, dst), dimension=0, num_keys=2
+    )
+    idx = jnp.arange(E, dtype=jnp.int32)
+    first = jnp.concatenate([jnp.ones((1,), bool), sort_dst[1:] != sort_dst[:-1]])
+    valid_e = dst_s != NO_ID
+    seg_id = jnp.cumsum(first.astype(jnp.int32)) - 1  # [E]
+
+    # unique destinations are slots — at most ``capacity`` of them, so the
+    # segment tables compact to [U] with U = capacity padded to the chunk
+    U = g.links0.shape[0]
+    CH = min(_CHUNK_A, U)
+    Upad = U + ((-U) % CH)
+    tgt = jnp.where(first & valid_e, seg_id, Upad)
+    u_dst = jnp.full((Upad + 1,), NO_ID, jnp.int32).at[tgt].set(dst_s, mode="drop")
+    seg_start = jnp.zeros((Upad + 1,), jnp.int32).at[tgt].set(idx, mode="drop")
+    seg_cnt = (
+        jnp.zeros((Upad + 1,), jnp.int32)
+        .at[jnp.where(valid_e, seg_id, Upad)]
+        .add(1, mode="drop")
+    )
+    n_unique = jnp.sum(first & valid_e, dtype=jnp.int32)
+    n_steps = (n_unique + CH - 1) // CH
+    over_pos = jnp.full((Upad,), _POS_SENTINEL, jnp.int32)
+
+    rank_cols = jnp.arange(inc_cap, dtype=jnp.int32)[None, :]
+
+    def inc_window(st, cn):
+        """Gather each destination's nearest ``inc_cap`` incoming edges
+        from its sorted segment → ([CH, inc_cap] ids, dists)."""
+        idx2 = jnp.clip(st[:, None] + rank_cols, 0, E - 1)
+        val = rank_cols < jnp.minimum(cn, inc_cap)[:, None]
+        iid = jnp.where(val, src_s[idx2], NO_ID)
+        idd = jnp.where(val, rd_s[idx2], INF)
+        return iid, idd
+
+    def body_a(state):
+        links0, dists0, ul, ud, over_pos, counters, i = state
+        gc = _replace(g, links0=links0, dists0=dists0, upper_links=ul, upper_dists=ud)
+        p0 = i * CH
+        dst_c = jax.lax.dynamic_slice(u_dst, (p0,), (CH,))
+        st = jax.lax.dynamic_slice(seg_start, (p0,), (CH,))
+        cn = jax.lax.dynamic_slice(seg_cnt, (p0,), (CH,))
+        iid_c, idd_c = inc_window(st, cn)
+        row_ids, row_d = _level_rows(gc, level, dst_c)
+        tw = row_ids.shape[-1]
+        ids = jnp.concatenate([row_ids, iid_c], axis=-1)
+        d = jnp.concatenate([row_d, idd_c], axis=-1)
+        keepm = topk.unique_mask(ids) & jnp.isfinite(d)
+        d = jnp.where(keepm, d, INF)
+        ids = jnp.where(keepm, ids, NO_ID)
+        d, ids = topk.sort_by_dist(d, ids)
+        n_total = jnp.sum(ids != NO_ID, axis=-1)
+        fits = n_total <= tw
+        live = dst_c != NO_ID
+        write_dst = jnp.where(fits & live, dst_c, NO_ID)
+        old_n = jnp.sum(row_ids != NO_ID, axis=-1)
+        delta = jnp.sum(jnp.where(fits & live, n_total - old_n, 0), dtype=jnp.int32)
+        gc = _set_level_rows(gc, level, write_dst, ids[:, :tw], d[:, :tw])
+        marks = jnp.where(
+            (~fits) & live, p0 + jnp.arange(CH, dtype=jnp.int32), _POS_SENTINEL
+        )
+        over_pos = jax.lax.dynamic_update_slice(over_pos, marks, (p0,))
+        counters = counters.at[CNT_REV_DELTA].add(delta)
+        return (gc.links0, gc.dists0, gc.upper_links, gc.upper_dists, over_pos, counters, i + 1)
+
+    init = (g.links0, g.dists0, g.upper_links, g.upper_dists, over_pos, counters, jnp.int32(0))
+    links0, dists0, ul, ud, over_pos, counters, _ = jax.lax.while_loop(
+        lambda s: s[-1] < n_steps, body_a, init
+    )
+    g = _replace(g, links0=links0, dists0=dists0, upper_links=ul, upper_dists=ud)
+
+    # phase B: α-prune the overflowed rows (compacted to a prefix)
+    metric = g.metric
+    CHB = min(_CHUNK_B, Upad)
+    over_sorted = jnp.sort(over_pos)
+    n_over = jnp.sum(over_pos != _POS_SENTINEL, dtype=jnp.int32)
+    nb_steps = (n_over + CHB - 1) // CHB
+
+    def body_b(state):
+        links0, dists0, ul, ud, counters, i = state
+        gc = _replace(g, links0=links0, dists0=dists0, upper_links=ul, upper_dists=ud)
+        p0 = i * CHB
+        pos_c = jax.lax.dynamic_slice(over_sorted, (p0,), (CHB,))
+        valid = pos_c != _POS_SENTINEL
+        p = jnp.where(valid, pos_c, 0)
+        dst_c = jnp.where(valid, u_dst[p], NO_ID)
+        iid_c, idd_c = inc_window(seg_start[p], jnp.where(valid, seg_cnt[p], 0))
+        row_ids, row_d = _level_rows(gc, level, dst_c)
+        old_n = jnp.sum(row_ids != NO_ID, axis=-1)
+        m_ids, m_d = prune.merge_link_rows(
+            metric, gc.vectors, gc.norms, row_ids, row_d, iid_c, idd_c, cap, alpha
+        )
+        delta = jnp.sum(
+            jnp.where(dst_c != NO_ID, jnp.sum(m_ids != NO_ID, axis=-1) - old_n, 0),
+            dtype=jnp.int32,
+        )
+        gc = _set_level_rows(gc, level, dst_c, m_ids, m_d)
+        counters = counters.at[CNT_REV_DELTA].add(delta)
+        return (gc.links0, gc.dists0, gc.upper_links, gc.upper_dists, counters, i + 1)
+
+    initb = (g.links0, g.dists0, g.upper_links, g.upper_dists, counters, jnp.int32(0))
+    links0, dists0, ul, ud, counters, _ = jax.lax.while_loop(
+        lambda s: s[-1] < nb_steps, body_b, initb
+    )
+    g = _replace(g, links0=links0, dists0=dists0, upper_links=ul, upper_dists=ud)
+    return g, counters, u_dst[:U]
+
+
 @partial(jax.jit, static_argnames=("cap", "alpha"), donate_argnames=("g", "dirty"))
 def prune_slack_rows(g: DeviceGraph, dirty: jax.Array, cap: int, alpha: float):
     """Reduce slack-widened layer-0 rows back to ``cap`` with the α-rule.

@@ -852,6 +852,16 @@ def permute_device(dev: DeviceGraph, perm: jax.Array, inv: jax.Array) -> DeviceG
     )
 
 
+import os as _os2
+
+_SYNC_BF16 = _os2.environ.get("HANNOY_TPU_SYNC_BF16", "1") == "1"
+
+
+@jax.jit
+def _bf16_cast(x: jax.Array) -> jax.Array:
+    return x.astype(jnp.bfloat16)
+
+
 def from_device(g: HostGraph, dev: DeviceGraph) -> None:
     """Download mutated link arrays from HBM back into the host mirror
     (builders donate arrays to device waves and sync back before flush).
@@ -859,10 +869,28 @@ def from_device(g: HostGraph, dev: DeviceGraph) -> None:
     A slack-widened device table is sliced back to M0 — callers must have
     reduced rows to <= M0 live links first (wave_ops.prune_slack_rows);
     rows are distance-sorted so live entries occupy the leading columns."""
-    g.links0 = np.array(dev.links0[:, : g.m0])  # copy: host code mutates these
-    g.dists0 = np.array(dev.dists0[:, : g.m0])
-    up = np.asarray(dev.upper_links)
-    ud = np.asarray(dev.upper_dists)
+    from ..utils.tracing import span
+
+    with span("from_device_links", bytes=int(dev.links0.shape[0]) * g.m0 * 4):
+        g.links0 = np.array(dev.links0[:, : g.m0])  # copy: host code mutates these
+    with span("from_device_dists", bytes=int(dev.dists0.shape[0]) * g.m0 * 2):
+        # The store persists link ids only (schema.encode_links); host-side
+        # dists exist to seed the next build's device upload, where they
+        # feed merge thresholds against freshly computed HIGHEST-precision
+        # distances. Downloading through the axon tunnel runs at
+        # ~15-30 MB/s (round-5 measurement), so the cached dists ride down
+        # as bf16 (monotone rounding — ascending rows stay ascending, only
+        # near-ties can flip a later merge decision, the same tolerance
+        # BULK_BF16 documents). HANNOY_TPU_SYNC_BF16=0 restores f32.
+        if _SYNC_BF16:
+            g.dists0 = np.asarray(
+                jax.device_get(_bf16_cast(dev.dists0[:, : g.m0]))
+            ).astype(np.float32)
+        else:
+            g.dists0 = np.array(dev.dists0[:, : g.m0])
+    with span("from_device_upper"):
+        up = np.asarray(dev.upper_links)
+        ud = np.asarray(dev.upper_dists)
     for l in range(up.shape[0]):
         rows = g.upper_links[l].shape[0]
         g.upper_links[l] = up[l, :rows].copy()
