@@ -210,6 +210,27 @@ class BuildOptions:
     #: recall points at ef=50 for no steady-time win; the knob exists
     #: for re-measuring if bulk candidate quality improves)
     bulk_upper: Optional[int] = None
+    #: flat-candidate backbone: build the backbone's layer-0 leg from
+    #: exact triangular kNN candidates (one [W, U] MXU matmul per wave
+    #: against the compact backbone member table, insertion-order
+    #: visibility via flat_col_order) instead of per-hop beam searches.
+    #: Candidate semantics are identical to a perfectly-converged beam
+    #: over the active backbone graph — item i's candidates are the exact
+    #: nearest previously-inserted members, so the sparse-phase long
+    #: edges (the whole point of the backbone) still form — while the
+    #: ~ef sequential gather-bound hops per wave collapse into one
+    #: matmul. None = auto (on when the backbone fits
+    #: ``backbone_flat_max``); False forces the beam path.
+    backbone_flat: Optional[bool] = None
+    #: backbone member bound for the flat path ([W, U] matrix per wave;
+    #: 131072 cols × 4096 rows f32 = 2.1 GB transient)
+    backbone_flat_max: int = 131072
+    #: candidate-pool width for the flat backbone (min'd with members).
+    #: Wider than ef_construction for ring diversity (the routing-layer
+    #: upper_flat_pool rationale) but bounded: the α-prune's pairwise
+    #: block gathers [W, pool, D] — pool=384 at W=4096 × 768d is a
+    #: 4.8 GB transient next to 3 GB of resident vectors
+    backbone_flat_pool: int = 192
     #: navigability backbone: after bulk layer 0 is connected, re-insert
     #: every level >= 1 member at layer 0 through real insertion waves
     #: (descent + beam + α-prune + reverse merge). A pure-kNN layer has no
@@ -574,13 +595,62 @@ def build_graph(
     # round-4 trace benchmarks/logs/trace_1m spans) instead of ~30
     W_groups = max(W, _WAVE_BUCKETS[-1]) if backbone_on else W
 
+    # ---- flat backbone (BuildOptions.backbone_flat) ----
+    # The backbone members form one insertion sequence (groups, level
+    # descending); its layer-0 candidates come from exact triangular kNN
+    # against the compact member table instead of per-hop beams, and the
+    # ramp collapses to full-width waves (triangular visibility makes
+    # in-wave divergence impossible — round-5 trace: the beam backbone was
+    # 15.4 s of a 58 s steady 1M build).
+    bb_tab0 = bb_order0 = None
+    bb_base = 0
+    if backbone_on and groups and opts.backbone_flat is not False:
+        bb_all = np.concatenate([grp for _, grp in groups])
+        if 0 < len(bb_all) <= opts.backbone_flat_max:
+            pad = 1 << max(4, int(len(bb_all) - 1).bit_length())
+            tab = np.full(pad, -1, dtype=np.int32)
+            tab[: len(bb_all)] = bb_all
+            slot_order0 = np.full(g.capacity, _ORDER_INF, dtype=np.int32)
+            slot_order0[active] = -1  # pre-existing actives: always visible
+            slot_order0[bb_all.astype(np.int64)] = np.arange(
+                len(bb_all), dtype=np.int32
+            )
+            bb_tab0 = jnp.asarray(tab)
+            # triangular orders for EVERY flat level (not just 0): a
+            # full-width wave carries a whole level group, so without
+            # in-wave visibility its upper-level candidates would be only
+            # the few higher-level actives — the tri upper loop's exact
+            # insertion-order trick, applied backbone-wide
+            bb_order0 = {
+                0: jnp.asarray(
+                    np.where(
+                        tab >= 0, slot_order0[np.maximum(tab, 0)], _ORDER_INF
+                    ).astype(np.int32)
+                )
+            }
+            for _lvl, _tabL in flat_tabs_np.items():
+                bb_order0[_lvl] = jnp.asarray(
+                    np.where(
+                        _tabL >= 0,
+                        slot_order0[np.maximum(_tabL, 0)],
+                        _ORDER_INF,
+                    ).astype(np.int32)
+                )
+
     for lv, grp in groups:
         start = 0
         prev_wave = None  # previous wave at this level (chain seeding)
         while start < len(grp):
             if opts.cancel():
                 raise BuildCancelled()
-            w_pad = _ramp_width(W_groups, n_active)
+            if bb_tab0 is not None:
+                # triangular visibility needs no ramp: full-width waves
+                w_pad = min(
+                    _WAVE_BUCKETS[-1],
+                    1 << max(4, int(len(grp) - start - 1).bit_length()),
+                )
+            else:
+                w_pad = _ramp_width(W_groups, n_active)
             chunk = grp[start : start + w_pad]
             start += len(chunk)
             wave = np.full(w_pad, -1, dtype=np.int32)
@@ -597,6 +667,7 @@ def build_graph(
             if (
                 lv == 0
                 and opts.chain_seeding
+                and bb_tab0 is None
                 and prev_wave is not None
                 and n_active > FLAT_BOOTSTRAP
                 and not g.metric.is_packed
@@ -607,7 +678,15 @@ def build_graph(
                     16, (opts.ef_construction + 16) // 2
                 )
             flat0 = None
-            if n_active <= FLAT_BOOTSTRAP:
+            flat_orders_w = None
+            flat_row_base_w = None
+            flat0_force = False
+            if bb_tab0 is not None:
+                flat0 = bb_tab0
+                flat_orders_w = bb_order0
+                flat_row_base_w = jnp.int32(bb_base + (start - len(chunk)))
+                flat0_force = True
+            elif n_active <= FLAT_BOOTSTRAP:
                 tab0 = np.full(FLAT_BOOTSTRAP, -1, dtype=np.int32)
                 tab0[: len(active_ids)] = active_ids[:FLAT_BOOTSTRAP]
                 flat0 = jnp.asarray(tab0)
@@ -620,6 +699,9 @@ def build_graph(
                     g.m0, seeds=seeds, beam_iters=beam_iters,
                     n_real=len(chunk),
                     flat_tabs=flat_tabs, flat0=flat0,
+                    flat_orders=flat_orders_w,
+                    flat_row_base=flat_row_base_w,
+                    flat0_force=flat0_force,
                 )
             dev = wave_ops.activate_wave(dev, wave_j)
             if lv == 0 and len(chunk) >= _CHAIN_MIN_PREV:
@@ -634,6 +716,7 @@ def build_graph(
             done += len(chunk)
             stats.waves += 1
             opts.progress.update(InsertItemsStep(done, total))
+        bb_base += len(grp)
 
     # ---- bulk cluster-blocked connect (after any backbone waves) ----
     if use_bulk:
@@ -795,6 +878,7 @@ def _insert_wave(
     flat0=None,
     flat_orders: Optional[dict] = None,
     flat_row_base=None,
+    flat0_force: bool = False,
 ):
     """Insert one wave: greedy descent to lv+1, then per-level beam +
     prune + connect, chaining each level's pruned set as the next level's
@@ -813,7 +897,9 @@ def _insert_wave(
     def _fm(level: int):
         """Compact member table for exact flat candidates at ``level``."""
         if level == 0:
-            return flat0 if use_flat else None
+            # flat0_force: the flat-backbone path supplies a compact
+            # level-0 table valid beyond the bootstrap threshold
+            return flat0 if (use_flat or flat0_force) else None
         return flat_tabs.get(level) if flat_tabs is not None else None
 
     # the greedy descent only seeds *beam* searches; skip its dispatches
@@ -878,7 +964,14 @@ def _insert_wave(
             ef=(
                 max(opts.ef_construction, opts.upper_flat_pool)
                 if fm is not None and level > 0
-                else opts.ef_construction
+                else (
+                    # flat backbone: wider exact pool for ring diversity
+                    # (upper_flat_pool rationale, bounded — see
+                    # BuildOptions.backbone_flat_pool)
+                    max(opts.ef_construction, opts.backbone_flat_pool)
+                    if level == 0 and flat0_force
+                    else opts.ef_construction
+                )
             ),
             cap=cap,
             alpha=opts.alpha,

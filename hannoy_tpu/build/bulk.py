@@ -836,11 +836,13 @@ CANCEL_CONNECT_STEPS = 8
 #: the chunked pass for A/B.
 GLOBAL_MERGE = _os.environ.get("HANNOY_TPU_GLOBAL_MERGE", "1") == "1"
 
-#: HANNOY_TPU_CAND_APPROX (default off): cluster-block candidate top-K
-#: via lax.approx_max_k instead of exact lax.top_k — pending a chip
-#: recall A/B at 1M (candidate recall is the quantity the round-4
-#: collapse taught us to guard).
-CAND_APPROX = _os.environ.get("HANNOY_TPU_CAND_APPROX", "0") == "1"
+#: HANNOY_TPU_CAND_APPROX (default ON since round 5): cluster-block
+#: candidate top-K via lax.approx_max_k instead of exact lax.top_k
+#: (bulk_candidates 9.4 s → 5.4 s at 1M×768). Chip A/B at 1M held
+#: recall@10 at 0.9961 (benchmarks/logs/m1_flatbb_approx_r5.log vs
+#: 0.9957 exact) — candidate recall is the quantity the round-4 collapse
+#: taught us to guard, so =0 restores exact top-K for bisection.
+CAND_APPROX = _os.environ.get("HANNOY_TPU_CAND_APPROX", "1") == "1"
 
 
 def _bulk_connect(
