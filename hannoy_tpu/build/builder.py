@@ -636,6 +636,28 @@ def build_graph(
                         _ORDER_INF,
                     ).astype(np.int32)
                 )
+            # levels too big for upper_flat_max but within the backbone
+            # bound get compact tables too — without one, the first
+            # full-width wave's upper leg has no candidate source at all
+            # (the bootstrap full-table path is disabled under
+            # flat0_force; see _insert_wave)
+            for _lvl in range(1, g.max_level + 1):
+                if _lvl in flat_tabs:
+                    continue
+                _mem = _layer_members(g, _lvl)
+                if 0 < len(_mem) <= opts.backbone_flat_max:
+                    _p = 1 << max(4, int(len(_mem) - 1).bit_length())
+                    _tabL = np.full(_p, -1, dtype=np.int32)
+                    _tabL[: len(_mem)] = _mem
+                    flat_tabs = dict(flat_tabs)
+                    flat_tabs[_lvl] = jnp.asarray(_tabL)
+                    bb_order0[_lvl] = jnp.asarray(
+                        np.where(
+                            _tabL >= 0,
+                            slot_order0[np.maximum(_tabL, 0)],
+                            _ORDER_INF,
+                        ).astype(np.int32)
+                    )
 
     for lv, grp in groups:
         start = 0
@@ -892,7 +914,12 @@ def _insert_wave(
     the flat masks to triangular insertion-order visibility (one wave per
     level group — see the bulk upper loop)."""
     wave_j = jnp.asarray(wave)
-    use_flat = n_active <= FLAT_BOOTSTRAP
+    # flat0_force (the flat backbone) runs full-width waves from a cold
+    # start — the legacy bootstrap's [W, capacity] full-table matmul at
+    # W=4096 × 1.7M slots would be a 28 GB allocation (found as an HBM
+    # OOM at the 10M×768 8-shard config), so the bootstrap path is
+    # disabled and levels without a compact table run beams instead
+    use_flat = n_active <= FLAT_BOOTSTRAP and not flat0_force
 
     def _fm(level: int):
         """Compact member table for exact flat candidates at ``level``."""

@@ -165,14 +165,22 @@ def main() -> None:
             w.add_items(range(i, min(i + step, N)), data[i : i + step])
         stage_s = time.perf_counter() - t0
         print(f"staged {N} items into {S} store shards in {stage_s:.1f}s", flush=True)
+        # Commit the staging wtxn BEFORE building: at 768d the overlay
+        # holds the full 30 GB corpus, and the builds add ~6 GB of host
+        # graph per shard — holding all three (corpus array, overlay,
+        # graphs) OOM-killed the first run at 130 GB RSS. Item puts +
+        # journal stones are durable after this; the builds run in a
+        # fresh wtxn (journal-driven, writer.rs:521-603 semantics).
+        db.commit_rw_txn()
+        del data  # GT is computed; staging is durable; free 30 GB
 
         t0 = time.perf_counter()
         w.build(spmd=False)
         build_s = time.perf_counter() - t0
         db.commit_rw_txn()
         print(f"built {S} shards in {build_s:.1f}s ({N / build_s:.0f} vec/s)", flush=True)
-
-    del data  # free 30 GB before serving holds S device graphs
+    else:
+        del data  # free 30 GB before serving holds S device graphs
 
     # ---- serving tier applies to HBM uploads only (store copy stays f32)
     if TIER == "bf16":
